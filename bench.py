@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized via the noop sink (count() can skip
+work; noop writes every row).  A warmup query amortizes JVM/codegen
+startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "join_chain_revenue",
+    "join_customer_orders",
+    "range_join_acctbal_bands",
+    "priority_dedup_orders",
+    "window_topk_orders_per_customer",
+    "union_priority_dedup",
+    "json_extract_events",
+    "window_hourly_events",
+    "dedup_exact_documents",
+    "text_token_stats",
+    "lang_id_documents",
+    "cosine_topk_bruteforce",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from cid_etl_spark.queries import spark_queries
+    from cid_etl_spark.session import get_spark
+
+    spark = get_spark("cid-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = spark_queries()
+
+    # warmup: touch the big table once (JVM + codegen + FS cache)
+    queries["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,176 @@
+"""Text-analysis column expressions (north-star extension).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table — all as native Column
+expressions so the hot path stays in whole-stage codegen.  Every
+function is deterministic and SQL-expressible (DuckDB oracle twins live
+in ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed, lowercased text (empty array for
+    empty/NULL-ish input)."""
+    t = F.lower(F.trim(_c(text)))
+    return F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks
+    via regex — a cheap, deterministic proxy for tokenizer cost used to
+    budget training data (real BPE runs off-cluster)."""
+    # count word/number chunks + standalone punctuation marks
+    return F.regexp_count(_c(text), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).cast("int")
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of lowercased text."""
+    t = F.lower(F.trim(_c(text)))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+#: Tiny multilingual stopword inventory for ratio features.  Chosen for
+#: determinism, not linguistic completeness.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "and", "of", "to", "in", "is", "it",
+    "der", "die", "das", "und", "ist",
+    "le", "la", "les", "et", "est",
+    "el", "los", "las", "es",
+)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-whitespace characters that are punctuation."""
+    t = _c(text)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of whitespace tokens that are known stopwords."""
+    toks = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    """Mean token length — proxy for gibberish / boilerplate detection."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards prose-like token
+    length, some stopwords, low punctuation noise.  A filtering
+    pipeline thresholds this; the components are exposed separately so
+    thresholds stay auditable."""
+    mtl = mean_token_length(text)
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    length_ok = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.7))
+    pr_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
+    return F.round(length_ok * sw_ok * pr_ok, 4)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: Per-language marker words with weights; the language with the
+#: highest hit count wins (ties → lexicographic first).  A real
+#: pipeline swaps in fastText off-cluster; the *dataflow* (score map →
+#: argmax) is what this models.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "avec"),
+    "es": ("el", "los", "las", "es", "con", "para"),
+}
+
+
+def lang_marker_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens that are markers for *lang*."""
+    toks = tokens(text)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language guess: argmax of marker hits, 'und'
+    (undetermined) when nothing matches."""
+    scores = [(lang, lang_marker_hits(text, lang)) for lang in sorted(LANG_MARKERS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so earlier (lexicographically first) language wins ties
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Exact-content fingerprint: xxhash64 of the normalized text
+    (whitespace-collapsed, lowercased) — survives formatting noise."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash all k-grams, keep the minimum hash of each sliding window of
+    *window* consecutive k-gram hashes, dedup.  Robust partial-overlap
+    detection at a fraction of full-shingle storage."""
+    t = F.lower(F.trim(_c(text)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+    )

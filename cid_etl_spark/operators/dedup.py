@@ -1,0 +1,329 @@
+"""Deduplication operators.
+
+Reference parity (A3) plus the LLM-data-pipeline dedup family
+(BASELINE.json north_star): exact content dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup.  All are shuffle-conscious:
+
+- priority/exact dedup = ONE hash shuffle on the key + per-partition
+  sort (window ``row_number``), never a global sort (SURVEY §2.4 A3).
+- MinHash/LSH banding turns the O(N²) all-pairs problem into a
+  shuffle on (band, bucket-signature) — only documents that collide in
+  some band are ever compared, which is what makes near-dup feasible
+  on 100 TB.
+- All hashing is deterministic (``xxhash64``/``md5``-derived), so runs
+  are reproducible across clusters and match SQL oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Reference-parity dedup
+# ---------------------------------------------------------------------------
+
+
+def priority_dedup(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """A3 — keep exactly one row per key, the first under *order*
+    (reference: stable sort by ``fonte`` DESC + ``drop_duplicates``,
+    etl_cid10.py:183-184,360-361).
+
+    The window form is the only shuffle-safe equivalent of pandas'
+    stable sort-then-drop (SURVEY §4.2.1): Spark's
+    ``orderBy().dropDuplicates()`` does NOT guarantee the survivor.
+    Callers must make *order* total (add a unique tiebreaker) for a
+    deterministic survivor.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: str | Sequence[str],
+    tiebreak: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Exact content dedup: one survivor per distinct content.
+
+    Hash-groupBy semantics — the content columns are the key; the
+    survivor is the minimum under *tiebreak* (deterministic) or an
+    arbitrary-but-single row when no tiebreak is given.  For long text
+    at scale, pre-hash the content (``xxhash64``) so the shuffle key is
+    8 bytes instead of the document body.
+    """
+    cols = [content_cols] if isinstance(content_cols, str) else list(content_cols)
+    key = F.xxhash64(*[F.col(c) for c in cols]).alias("__content_hash")
+    order = list(tiebreak) if tiebreak is not None else [F.lit(1)]
+    return priority_dedup(df.withColumn("__content_hash", key), "__content_hash", order).drop(
+        "__content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate dedup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31-1: modulus for the universal-hash family used by
+#: the MinHash permutations.  31-bit so that ``a*h + b`` stays < 2^62
+#: and never overflows BIGINT arithmetic (Spark 4 runs ANSI mode —
+#: silent wraparound is an error, and we wouldn't want it anyway).
+#: Fixed a/b parameters derive from the seed so signatures are
+#: reproducible run-to-run and cluster-to-cluster.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    # Deterministic LCG expansion of the seed — no RNG state, identical
+    # on every executor and every run.
+    params = []
+    x = seed & 0x7FFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (_MERSENNE_31 - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE_31
+        params.append((a, b))
+    return params
+
+
+def shingles(text: Column | str, n: int = 5, words: bool = True) -> Column:
+    """Distinct n-gram shingle array for MinHash/Jaccard.
+
+    Word shingles (default) are robust to whitespace noise; character
+    shingles (``words=False``) suit CJK / no-whitespace text.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(F.trim(c))
+    if words:
+        toks = F.split(c, r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    shingle_arr: Column,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature as an ``array<bigint>`` of length *num_hashes*.
+
+    Base shingle hash is ``xxhash64`` truncated to 31 bits (JVM-side,
+    deterministic); each permutation is a universal hash
+    ``(a*h + b) mod 2^31-1`` evaluated with ``F.transform`` /
+    ``F.array_min`` — all codegen, no Python in the row path.
+    """
+    base = F.transform(
+        shingle_arr, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31).cast("bigint"))
+    )
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_31))
+        )
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and emit candidate duplicate pairs
+    ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Rows agreeing on ALL rows-per-band values within any band land in
+    the same bucket; the self-join shuffles on the (band, bucket-hash)
+    key only.  Output is distinct pairs — verify with
+    :func:`jaccard_similarity` downstream.
+    """
+    sig = F.col(signature_col)
+    # bands as (band_index, hash of the band slice)
+    rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: shingle → sign → band → candidate
+    pairs → exact-Jaccard verify ≥ *threshold*.
+
+    Returns ``(id_a, id_b, jaccard)``.  The exact-verify join re-reads
+    only candidate rows (semi-join pattern), so the heavy text column
+    moves for candidates alone — at 100 TB that's the difference
+    between feasible and not.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
+    signed = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    pairs = lsh_candidate_pairs(signed, "__id", "__sig", num_bands)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard_similarity(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, n: int = 3, bits: int = 64) -> Column:
+    """64-bit SimHash over word n-gram features, as a BIGINT column.
+
+    Per bit: count features with that hash bit set; the fingerprint bit
+    is 1 iff more than half vote 1.  ONE ``aggregate`` pass over the
+    feature array with an array-of-counters accumulator (``bit_get``
+    extracts bits with a non-literal position); the final assembly is a
+    64-way unrolled OR of literal shifts — all codegen, no Python.
+    """
+    feats = shingles(text, n)
+    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    total = F.size(hashes)
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(positions, lambda b: F.bit_get(h, b)),
+            lambda a, x: a + x,
+        ),
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit = (
+            F.when(F.get(counts, i) * 2 > total, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole banding.
+
+    The 64-bit fingerprint is split into ``max_hamming + 1`` chunks:
+    two fingerprints within the Hamming budget MUST agree on at least
+    one chunk, so the self-join shuffles on (chunk_index, chunk_value)
+    only — never all-pairs — with guaranteed recall.  Smaller budgets
+    → wider chunks → fewer candidate collisions.
+    """
+    n_chunks = min(max_hamming + 1, 32)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, n).alias("__fp"))
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("__fp"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1).cast("bigint")
+        )
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+    chunks = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__fp").alias("fp_a"),
+            F.col("r.__fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,82 @@
+"""Join operators (SURVEY §2.3, J1-J8).
+
+Design rules (scale-first):
+
+- **Prune before joining.** Select only needed columns on both sides so
+  shuffle/broadcast payloads stay minimal and name collisions cannot
+  arise (replaces the reference's pandas ``_x``/``_y`` + fillna
+  machinery, etl_cid10.py:59-67,342-348).
+- **Broadcast small dims explicitly.** All the reference's dims
+  (chapters=22, blocks≈275, categories≈2k) are far under any broadcast
+  threshold; at 100 TB the fact side never re-shuffles for these joins.
+- **Range joins are broadcast theta joins**, replacing the reference's
+  O(N·M) driver-side nested loops (etl_cid10.py:296-325).  Spark plans a
+  BroadcastNestedLoopJoin: each fact partition scans the tiny broadcast
+  interval table — embarrassingly parallel, no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def left_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """J1-J5 — equi join with an explicit broadcast hint on the dim side
+    (etl_cid10.py:55,57,70,136,175,340)."""
+    return left.join(F.broadcast(right), on, how)
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    how: str = "left",
+    first_match_order: Sequence[str] | None = None,
+    fact_key: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """J6/J7 — interval-membership join: ``start <= key <= end``
+    (etl_cid10.py:266-325).
+
+    *intervals* is broadcast; comparison is lexicographic when the
+    columns are strings (correct for fixed-width ICD codes, SURVEY
+    §4.2.4).  ``first_match_order`` reproduces the reference's
+    first-match-wins ``break`` (etl_cid10.py:306,310,323) for
+    potentially-overlapping intervals: keep one match per fact row,
+    choosing the interval with the smallest values of those columns.
+    For disjoint intervals (real DataSUS data) pass ``None`` and skip
+    the window entirely — no shuffle at all.  ``fact_key`` (default:
+    *key*) identifies a fact row for the tie-break window; pass the
+    fact table's unique key when *key* is not unique.
+    """
+    pred = F.col(key).between(F.col(start), F.col(end))
+    joined = facts.join(F.broadcast(intervals), pred, how)
+    if first_match_order is None:
+        return joined
+    part = [fact_key] if isinstance(fact_key, str) else list(fact_key or [key])
+    order = [F.col(c).asc_nulls_last() for c in first_match_order]
+    w = Window.partitionBy(*[F.col(c) for c in part]).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def coalesce_columns(df: DataFrame, target: str, preferred: str, fallback: str) -> DataFrame:
+    """J8 — two-source column preference: ``target = coalesce(preferred,
+    fallback)``, dropping the inputs (replaces pandas suffix+fillna,
+    etl_cid10.py:59-67,342-348)."""
+    return df.withColumn(target, F.coalesce(F.col(preferred), F.col(fallback))).drop(
+        *[c for c in (preferred, fallback) if c != target]
+    )

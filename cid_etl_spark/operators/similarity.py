@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, as a real 100 TB pipeline would run them:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set against the corpus, one codegen'd pass per corpus
+  partition, per-query top-k via window.  Cost O(|Q|·N); right answer,
+  embarrassingly parallel, no corpus shuffle.
+- **LSH-bucketed ANN** — random-hyperplane signatures bucket the corpus
+  once (a cheap narrow transform); queries probe only their bucket(s).
+  Cost per query drops to O(N / 2^bits · |Q|); recall is tunable via
+  signature bits and multi-probe.  This is the scale path: the corpus
+  is hashed/partitioned ONCE and reused across query batches.
+
+Hyperplanes are derived deterministically from a seed (hash-based, no
+RNG state), so results are reproducible and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cid_etl_spark.functions.vectors import cosine_similarity, dot
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns ``(query_id, vec_id, cosine)``, k rows per query (ties
+    broken by id for determinism).  The query side is broadcast —
+    corpus partitions are scanned once with no shuffle; the only
+    shuffle is the per-query top-k window over |Q|·N candidate rows,
+    which AQE coalesces.  For large |Q|, chunk the query set.
+    """
+    joined = corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int) -> list[float]:
+    # Deterministic pseudo-gaussian hyperplane: splitmix64-style hash of
+    # (seed, bit, i) mapped to [-1, 1).  Distribution quality is ample
+    # for LSH; determinism is the point (reproducible across runs).
+    out = []
+    for i in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + bit * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) & (
+            (1 << 64) - 1
+        )
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        x ^= x >> 31
+        out.append((x / float(1 << 63)) - 1.0)
+    return out
+
+
+def random_hyperplane_signature(
+    vec: Column | str, dim: int, bits: int = 8, seed: int = 42
+) -> Column:
+    """Sign-of-projection LSH signature as an INT (one bit per
+    hyperplane).  Same-bucket vectors are likely similar in angle."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    sig = F.lit(0)
+    for b in range(bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b, seed)])
+        sig = sig.bitwiseOR(
+            F.when(dot(v, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    The corpus is signed once (narrow map — at scale, persist the
+    signed corpus bucketed by signature); each query joins to its
+    bucket, then exact cosine + top-k within the bucket.  Recall < 1.0
+    by construction; raise recall with fewer bits or multi-probe.
+    """
+    signed_corpus = corpus.withColumn(
+        "__bucket", random_hyperplane_signature(vec_col, dim, bits, seed)
+    )
+    signed_queries = queries.withColumn(
+        "__bucket", random_hyperplane_signature(query_vec_col, dim, bits, seed)
+    )
+    joined = signed_corpus.join(
+        F.broadcast(signed_queries.select(query_id_col, query_vec_col, "__bucket")),
+        "__bucket",
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Self-join within LSH buckets only (vectors at cosine ≥ ~0.95 almost
+    always share a sign-signature at modest bit counts), then exact
+    cosine filter.  Returns ``(id_a, id_b, cosine)`` with id_a < id_b.
+    """
+    signed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        random_hyperplane_signature(vec_col, dim, bits, seed).alias("__bucket"),
+    )
+    l, r = signed.alias("l"), signed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine_similarity(F.col("l.__vec"), F.col("r.__vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

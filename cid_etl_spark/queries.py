@@ -1,0 +1,763 @@
+"""Named engine queries with DuckDB oracle twins.
+
+Each entry exercises one operator family from SURVEY §2 (or a
+north-star extension) against the fixture tables.  Conventions that
+make the driver's order-insensitive value-hash comparison stable:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- money aggregates go through exact DECIMAL arithmetic, then one final
+  ``round(..., 2)::double`` (operators.aggregates.decimal_sum/money) —
+  double SUM order is non-associative, decimal SUM is exact;
+- averages are ``round(decimal_sum::double / count, 6)``;
+- ranking always carries a unique tiebreak column, and anything ranked
+  on a float is rounded FIRST in both engines.
+
+Queries without an oracle entry (minhash/simhash/embedding near-dup)
+use hash functions DuckDB lacks; the driver records a rows-only check
+for them (the math itself is covered by unit tests in tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cid_etl_spark.functions.strings import (
+    extract_root_category,
+    format_subcat,
+    normalize_code,
+    subcategory_or_null,
+)
+from cid_etl_spark.functions.text import (
+    mean_token_length,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+from cid_etl_spark.functions.text import LANG_MARKERS
+from cid_etl_spark.functions.vectors import cosine_similarity
+from cid_etl_spark.operators.aggregates import count_if, decimal_sum, money
+from cid_etl_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    priority_dedup,
+    simhash_dedup_pairs,
+)
+from cid_etl_spark.operators.similarity import embedding_neardup_pairs
+from cid_etl_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SPARK: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _SPARK[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return dict(_SPARK)
+
+
+def oracle_queries() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# A. Scan / project / scalar functions (S2, P4-P9, F1-F8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scan_project_filter",
+    """
+    SELECT c_custkey,
+           upper(trim(c_name)) AS name_norm,
+           c_mktsegment,
+           c_acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P4/F1: projection + filter + normalization; the filter and
+    the 4-column projection both reach the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            normalize_code("c_name").alias("name_norm"),
+            "c_mktsegment",
+            "c_acctbal",
+        )
+    )
+
+
+_SCALAR_SQL = """
+    WITH p AS (
+      SELECT p_partkey,
+             upper(substr(p_name, 1, 1))
+               || lpad(CAST(p_size % 100 AS VARCHAR), 2, '0')
+               || CASE WHEN p_size % 3 = 0 THEN ' ' ELSE 'X' END AS raw_code
+      FROM part
+    ), n AS (
+      SELECT p_partkey, upper(trim(raw_code)) AS s FROM p
+    ), d AS (
+      SELECT p_partkey, s,
+             CASE WHEN length(s) >= 4 AND trim(substr(s, 4, 1)) <> ''
+                  THEN substr(s, 1, 3) || '.' || substr(s, 4)
+                  ELSE substr(s, 1, 3)
+             END AS code_dotted
+      FROM n
+    )
+    SELECT p_partkey,
+           s AS code_norm,
+           code_dotted,
+           split_part(code_dotted, '.', 1) AS code_root,
+           CASE WHEN contains(code_dotted, '.') THEN code_dotted END AS subcat_or_null
+    FROM d
+"""
+
+
+@_register("scalar_string_suite", _SCALAR_SQL)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F7/P7 on a synthesized ICD-shaped code column: normalize,
+    dot-insertion (both branches: blank 4th char vs not), root
+    extraction, subcategory-or-null."""
+    part = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.upper(F.substring("p_name", 1, 1)),
+        F.lpad((F.col("p_size") % 100).cast("string"), 2, "0"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(" ")).otherwise(F.lit("X")),
+    )
+    df = part.select(F.col("p_partkey"), raw.alias("raw_code"))
+    dotted = format_subcat("raw_code")
+    return df.select(
+        "p_partkey",
+        normalize_code("raw_code").alias("code_norm"),
+        dotted.alias("code_dotted"),
+        extract_root_category(dotted).alias("code_root"),
+        subcategory_or_null(dotted).alias("subcat_or_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Aggregations (A1-A3 + general groupBy)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation: partial (map-side) aggs,
+    exact decimal sums, one shuffle on the 2-column group key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum(qty)).alias("sum_qty"),
+        money(F.sum(price)).alias("sum_base_price"),
+        money(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "conditional_count_quality",
+    """
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+    FROM orders
+    """,
+)
+def conditional_count_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the reference's quality-count shape (total + count-if) as
+    one single-pass aggregation (etl_cid10.py:190-193)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total"),
+        count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )
+
+
+@_register(
+    "priority_dedup_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderpriority
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderpriority ASC, o_orderkey ASC
+    ) = 1
+    """,
+)
+def priority_dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: priority dedup — per customer keep the highest-priority
+    (then lowest-key) order.  Window row_number, never sort+drop
+    (SURVEY §4.2.1)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return priority_dedup(
+        o, "o_custkey", [F.col("o_orderpriority").asc(), F.col("o_orderkey").asc()]
+    )
+
+
+@_register(
+    "rollup_order_counts",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (engine surface beyond the
+    reference, SURVEY §2.4 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+@_register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    + driver merge, no global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Joins (J1-J8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "join_customer_orders",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shape: fact ⋈ broadcast dim, then grouped agg — the dim never
+    forces a fact shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(decimal_sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "join_chain_revenue",
+    """
+    SELECT r.r_name,
+           n.n_name,
+           COUNT(*) AS n_items,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J5-shape: 5-table chain.  customer/nation/region broadcast;
+    lineitem⋈orders is the only shuffle join (co-partitioned on the
+    order key by AQE/SMJ)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money(F.sum(price * (1 - disc))).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "range_join_acctbal_bands",
+    """
+    SELECT b.band,
+           COUNT(*) AS n_customers,
+           CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN (VALUES ('negative', -1000000.0, 0.0),
+                 ('low',      0.0,        1000.0),
+                 ('mid',      1000.0,     5000.0),
+                 ('high',     5000.0,     1000000.0)) AS b(band, lo, hi)
+      ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_acctbal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7-shape: interval-membership join as a broadcast theta join
+    (BroadcastNestedLoopJoin over a 4-row interval table) — replaces
+    the reference's O(N·M) driver loops (etl_cid10.py:296-325)."""
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    bands = spark.createDataFrame(
+        [
+            ("negative", -1000000.0, 0.0),
+            ("low", 0.0, 1000.0),
+            ("mid", 1000.0, 5000.0),
+            ("high", 5000.0, 1000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(decimal_sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@_register(
+    "semi_join_active_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+)
+def semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — suppliers that appear in lineitem (free in Spark,
+    absent from the reference; SURVEY §2.3 note)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+
+
+@_register(
+    "anti_join_idle_customers",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — customers with no orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# D. Set ops + union dedup (U1 + A3 together)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "union_priority_dedup",
+    """
+    WITH u AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    )
+    SELECT nationkey, src
+    FROM u
+    QUALIFY row_number() OVER (
+        PARTITION BY nationkey
+        ORDER BY CASE WHEN src = 'customer' THEN 0 ELSE 1 END, src
+    ) = 1
+    """,
+)
+def union_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + A3: two-source union with source-priority dedup — the
+    reference's consolidation tail (etl_cid10.py:357-361) on fixture
+    data: per nationkey prefer the 'customer' provenance row."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    u = c.unionByName(s)
+    prio = F.when(F.col("src") == "customer", 0).otherwise(1)
+    return priority_dedup(u, "nationkey", [prio.asc(), F.col("src").asc()])
+
+
+# ---------------------------------------------------------------------------
+# E. Window functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window with deterministic tiebreak: top-3 orders per
+    customer — one shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@_register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame: per-customer
+    running revenue in order-date order (decimal-exact, so the running
+    sum is deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)).alias(
+            "running_total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F. JSON + time windows over events
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+           SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props) + grouped agg —
+    `get_json_object` stays JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(decimal_sum("value")).alias("sum_value"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@_register(
+    "window_hourly_events",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window in batch (identical semantics to the
+    Structured Streaming path in streaming/ — same F.window call)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(decimal_sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G. Text analysis over documents (north-star)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup as hash-groupBy: survivor = min doc_id per
+    content hash.  At 100 TB the md5 key (16 bytes) shuffles, not the
+    document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@_register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) > 0
+                THEN len(string_split_regex(lower(trim(text)), '\s+'))
+                ELSE 0 END AS n_tokens,
+           length(text) AS n_chars_actual,
+           round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                      / length(regexp_replace(text, '\s', '', 'g'))
+                 ELSE 0.0 END, 4) AS punct_ratio,
+           round(CASE WHEN length(trim(text)) > 0
+                 THEN CAST(list_aggregate(list_transform(
+                          string_split_regex(lower(trim(text)), '\s+'),
+                          x -> length(x)), 'sum') AS DOUBLE)
+                      / len(string_split_regex(lower(trim(text)), '\s+'))
+                 ELSE 0.0 END, 4) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features, all codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(mean_token_length("text"), 4).alias("mean_token_len"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: "len(list_filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        )
+        for lang in sorted(LANG_MARKERS)
+    }
+    hit_cols = ",\n             ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    first_lang_case = "\n                ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(lower(trim(text)), '\s+')
+                  ELSE [] END AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             {hit_cols}
+      FROM t
+    ), b AS (
+      SELECT doc_id, h_de, h_en, h_es, h_fr,
+             greatest(h_de, h_en, h_es, h_fr) AS best
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                {first_lang_case}
+                ELSE 'und' END AS lang_guess
+    FROM b
+    """
+
+
+@_register("lang_id_documents", _lang_sql())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language marker-hit counts → argmax
+    (lexicographic tiebreak), 'und' when nothing matches."""
+    from cid_etl_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# H. Embedding similarity (north-star)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(c.v, q.qv), 4) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cosine
+    FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) <= 3
+    """,
+)
+def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-3 for 5 query
+    vectors.  Queries broadcast; corpus scanned once, no shuffle except
+    the per-query top-k window.  Ranked on the ROUNDED similarity (both
+    engines) so float ulps can't flip the order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 3
+    ).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# I. Near-dup extensions without SQL oracles (driver: rows-only check).
+#    DuckDB lacks xxhash64, so signatures can't be replicated bit-for-bit;
+#    the algorithms are unit-tested in tests/test_dedup.py instead.
+# ---------------------------------------------------------------------------
+
+
+@_register("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (shingle →
+    sign → band → verify; operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", shingle_n=5, num_hashes=32, num_bands=8, threshold=0.5
+    )
+
+
+@_register("simhash_pairs")
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (64-bit fingerprint, 16-bit-chunk
+    blocking, Hamming ≤ 3)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(d, "doc_id", "text", max_hamming=3, n=3)
+
+
+@_register("embedding_neardup")
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64, threshold=0.95, bits=8)

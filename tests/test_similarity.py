@@ -1,0 +1,73 @@
+"""Unit tests for similarity search: brute-force exactness, LSH recall
+sanity, embedding near-dup blocking."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cid_etl_spark.functions.vectors import cosine_similarity
+from cid_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert abs(out[0] - 1.0) < 1e-9
+    assert abs(out[1]) < 1e-9
+    assert abs(out[2] - 1 / math.sqrt(2)) < 1e-9
+
+
+def test_bruteforce_topk_finds_self(spark):
+    corpus = _vecs(
+        spark,
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+    )
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_bruteforce(corpus, queries, k=1).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in out} == {(0, 0), (1, 1)}
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in out)
+
+
+def test_lsh_recall_against_bruteforce(spark, duck):
+    # real fixture embeddings: LSH top-1 should recover the brute-force
+    # top-1 (the vector itself) and mostly recover top-k members
+    from cid_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, bits=4).collect()
+    exact_top1 = {(r["query_id"], r["vec_id"]) for r in exact if abs(r["cosine"]) >= 0.999}
+    approx_pairs = {(r["query_id"], r["vec_id"]) for r in approx}
+    # every query must at least find itself through its own bucket
+    assert exact_top1 <= approx_pairs
+    # and bucket probing must prune the corpus (approx candidates < exact's N)
+    assert len(approx_pairs) <= len({(r["query_id"], r["vec_id"]) for r in exact})
+
+
+def test_embedding_neardup_finds_duplicated_vector(spark):
+    base = [float(i % 7 - 3) for i in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    rows = [(1, base), (2, near), (3, [float(-(i % 5) + 2.0) for i in range(16)])]
+    out = embedding_neardup_pairs(
+        _vecs(spark, rows), dim=16, threshold=0.99, bits=6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
