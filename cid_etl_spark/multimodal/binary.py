@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns with typed metadata (north-star extension).
+
+What's REAL here (and tested): the Spark-side dataflow — schema,
+Arrow-batched ``mapInPandas`` UDF signatures, per-partition batch
+shapes, partitioning discipline.  What's STUBBED: the actual codec
+work (`_decode_image_stub`), because image/audio libraries are not in
+this container.  Swap the stub for PIL/ffmpeg calls and nothing about
+the Spark plumbing changes.
+
+Scale design:
+- media bytes travel ONCE through an Arrow batch into the Python
+  worker; features come back as small fixed-width columns — never
+  ship bytes back out.
+- batch size is bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set in the session factory's Arrow block) so a partition of 10 MB
+  images can't blow worker memory.
+- downstream joins/apply happen on the *feature* columns; the binary
+  column is pruned away by Catalyst the moment it's unused.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-row schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+#: Feature schema produced by the image-decode stage.
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_luma", StringType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """Build a deterministic fake media table from any fixture table:
+    payload bytes derive from sha2(seed) — stable across runs, no RNG.
+    This stands in for `spark.read.format('binaryFile')` in an
+    environment with real assets."""
+    payload = F.sha2(F.col(seed_col).cast("string"), 256).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (
+            F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+            .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """Metadata pass that never touches Python: size/kind stats as
+    plain expressions — the cheap pre-filter before any decode."""
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB decoder — deterministic fake dimensions derived from the
+    payload bytes.  Replace with e.g. PIL.Image.open for real data;
+    the mapInPandas plumbing around it is already production-shaped.
+    """
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError(
+            "real image decode requires an imaging library not present "
+            "in this environment"
+        )
+    w = 64 + payload[0] % 192
+    h = 64 + payload[1] % 192
+    c = 1 + payload[2] % 4
+    luma = f"{(sum(payload[:16]) % 256) / 255.0:.4f}"
+    return w, h, c, luma
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (media_id, payload),
+    emitting fixed-width features.  Bytes in, features out — the
+    binary column dies here."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, luma = _decode_image_stub(bytes(payload))
+                rows.append((mid, w, h, c, luma))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "mean_luma"]
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def sample_video_frames(df: DataFrame, every_n_bytes: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled 'frame' via
+    posexplode of a byte-stride sequence — the dataflow shape of real
+    frame extraction (explode → per-frame features), with the codec
+    stubbed to byte slices."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest((F.length("payload") / every_n_bytes).cast("int") - 1, F.lit(0)),
+        ),
+        lambda i: F.substring(F.col("payload").cast("string"), i * every_n_bytes + 1, 4),
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", F.posexplode(frames).alias("frame_idx", "frame_sig"))
+    )

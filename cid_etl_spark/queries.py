@@ -761,3 +761,300 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket blocking."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, dim=64, threshold=0.95, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# J. General analytics surface (SURVEY §2.4-§2.8 notes: engine exposes
+#    the full Spark built-in families the reference lacks)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the Spark 4 DataFrame API — one shuffle
+    producing all three groupings (Expand + single aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_register(
+    "cube_lineitem_stats",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money(decimal_sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+@_register(
+    "intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — set op the reference lacks, free in Spark."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@_register(
+    "except_nations",
+    """
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with no suppliers."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return n.subtract(s)
+
+
+@_register(
+    "lag_order_gaps",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate ASC, o_orderkey ASC),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days between a customer's consecutive orders
+    (NULL for the first)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@_register(
+    "rank_customers_in_segment",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           dense_rank() OVER w AS seg_rank,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile over a total (tie-broken) order."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("seg_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "count_distinct_per_nation",
+    """
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def count_distinct_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase partial_count under AQE)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@_register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per event_type — the 100 TB path
+    where exact distinct would shuffle every key.  No SQL oracle:
+    DuckDB's approx sketch differs; accuracy is asserted in unit tests
+    against the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@_register(
+    "monthly_order_revenue",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup (P6/F10 family generalized)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@_register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for
+    pivot values at scale — that's an extra job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@_register(
+    "from_json_typed_events",
+    """
+    SELECT event_id,
+           event_type,
+           CAST(props ->> '$.k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props ->> '$.k' AS BIGINT) > 90
+    """,
+)
+def from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with an explicit schema (from_json, not
+    schema inference) + predicate on the extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        e.withColumn("k", parsed["k"])
+        .filter(F.col("k") > 90)
+        .select("event_id", "event_type", "k")
+    )
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) in batch — the same
+    F.session_window the streaming path uses; the oracle is the
+    classic gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K. More text + embedding analytics (north-star)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+           n_chars
+    FROM documents
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-chunk token estimate (BPE proxy) per document."""
+    from cid_etl_spark.functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_ish"),
+        "n_chars",
+    )

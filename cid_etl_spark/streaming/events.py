@@ -1,0 +1,107 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.10); this module is the
+incremental path a 100 TB event pipeline needs.  Design:
+
+- The SAME aggregation expressions as the batch queries
+  (queries.window_hourly_events / sessionize_events) — batch/stream
+  parity is a test, not a hope.
+- Event-time everywhere: windows key on the data's ``ts``, never
+  arrival time; watermarks bound state so the job runs forever on
+  bounded memory.
+- File source here (parquet dirs are what the fixtures give us); in
+  production the readStream source string changes (kafka), nothing
+  else does.
+
+State-size discipline at scale: every stateful operator below carries
+a watermark; without one, Spark must keep every window/key forever —
+fine at sf0.001, an OOM at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Schema of the events fixture after ns→µs normalization
+#: (sources/parquet.py); declared explicitly because readStream
+#: requires a schema up front (no inference mid-stream).
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream with an explicit schema.
+
+    *path* is a directory of parquet files written with µs timestamps
+    (see tests — the raw fixture's ns timestamps are normalized on the
+    batch side first; a production stream source emits µs natively).
+    """
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_event_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows with late-data tolerance.
+
+    Mirrors queries.window_hourly_events column-for-column so the
+    batch run is the oracle for the streaming run.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def sessionized_event_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (inactivity gap) per user — the streaming twin
+    of queries.sessionize_events."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def stream_dedup_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event IDs within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps only as much state as the
+    watermark requires (vs. dropDuplicates' unbounded key set)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, table_name: str, mode: str = "complete"
+) -> None:
+    """Drain a bounded stream fully (availableNow) into an in-memory
+    sink — the test/verification harness for the operators above."""
+    (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

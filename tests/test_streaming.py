@@ -1,0 +1,107 @@
+"""Structured Streaming tests: batch/stream parity for windows and
+sessions, watermark-bounded dedup.  Bounded streams drained with
+availableNow into memory sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cid_etl_spark.sources.parquet import load_table
+from cid_etl_spark.streaming.events import (
+    hourly_event_counts,
+    read_event_stream,
+    run_stream_to_memory,
+    sessionized_event_counts,
+    stream_dedup_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    # re-write the fixture with µs timestamps (and in several files so
+    # the file source actually streams in multiple micro-batches)
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_events(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_hourly_counts_match_batch(spark, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(hourly_event_counts(stream), "hourly_s")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_s").collect()
+    }
+    batch = (
+        _batch_events(spark, event_stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .select(F.col("w.start").alias("hs"), "event_type", "n", "s")
+        .collect()
+    )
+    want = {(r["hs"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want
+
+
+def test_sessions_match_batch_query(spark, event_stream_dir):
+    # files arrive in arbitrary event-time order, so exact batch parity
+    # needs a watermark wide enough that nothing is treated as late
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        sessionized_event_counts(stream, watermark="60 days"), "sessions_s"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sessions_s").collect()
+    }
+    batch = (
+        _batch_events(spark, event_stream_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("ss"), "n")
+        .collect()
+    )
+    want = {(r["user_id"], r["ss"]): r["n"] for r in batch}
+    assert got == want
+
+
+def test_tight_watermark_drops_late_events(spark, event_stream_dir):
+    # the flip side of parity: with a tight watermark and time-unordered
+    # files, genuinely-late events MUST be dropped (bounded state is the
+    # point of the watermark at 100 TB/day)
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        sessionized_event_counts(stream, watermark="2 hours"), "sessions_tight"
+    )
+    n_stream = spark.table("sessions_tight").agg(F.sum("n_events")).collect()[0][0]
+    n_total = spark.read.parquet(event_stream_dir).count()
+    assert n_stream < n_total  # late rows were dropped, not silently kept
+
+
+def test_stream_dedup_drops_replayed_ids(spark, tmp_path, event_stream_dir):
+    # duplicate every event id by writing the data twice into the dir
+    dup_dir = str(tmp_path / "dup")
+    src = spark.read.parquet(event_stream_dir)
+    src.write.mode("overwrite").parquet(dup_dir)
+    src.write.mode("append").parquet(dup_dir)
+
+    stream = read_event_stream(spark, dup_dir)
+    run_stream_to_memory(stream_dedup_events(stream), "dedup_s", mode="append")
+    n_unique = src.select("event_id").distinct().count()
+    got = spark.table("dedup_s").count()
+    assert got == n_unique
