@@ -35,6 +35,14 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup",
+    "grouping_sets_orders",
+    "cube_lineitem_stats",
+    "sessionize_events",
+    "rank_customers_in_segment",
+    "monthly_order_revenue",
+    "quality_score_documents",
+    "ngram_jaccard_pairs",
+    "cosine_topk_lsh",
 ]
 
 

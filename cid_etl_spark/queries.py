@@ -1058,3 +1058,134 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count("text").cast("bigint").alias("n_bpe_ish"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# L. Remaining north-star dedup/similarity/text entries
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             lang,
+             list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 4) AS jaccard
+    FROM sh a
+    JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with language blocking —
+    the verify stage of near-dup dedup as its own operator.  Blocking
+    (same lang) keeps the self-join off the full N² diagonal; MinHash
+    banding (minhash_lsh_pairs) is the sub-quadratic scale path."""
+    from cid_etl_spark.operators.dedup import jaccard_similarity, shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id"), F.col("lang"), shingles("text", 3).alias("grams")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("grams").alias("ga")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang"), F.col("grams").alias("gb")
+    )
+    j = F.round(jaccard_similarity(F.col("ga"), F.col("gb")), 4)
+    return (
+        a.join(b, ["lang"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _quality_sql() -> str:
+    from cid_etl_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(lower(trim(text)), '\s+')
+                  ELSE []::VARCHAR[] END AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sw,
+             CASE WHEN n_nonspace > 0
+                  THEN CAST(n_punct AS DOUBLE) / n_nonspace
+                  ELSE 0.0 END AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           round(CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END
+                 * CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END
+                 * CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END, 4) AS quality
+    FROM m
+    """
+
+
+@_register("quality_score_documents", _quality_sql())
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic for corpus filtering (functions.text
+    .quality_score): token-length band × stopword floor × punctuation
+    ceiling."""
+    from cid_etl_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@_register("content_fingerprints")
+def content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 whitespace-normalized content fingerprint + winnowing
+    fingerprint count per document (rows-only: DuckDB lacks xxhash64;
+    determinism asserted in unit tests)."""
+    from cid_etl_spark.functions.text import content_fingerprint, winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        content_fingerprint("text").alias("fingerprint"),
+        F.size(winnowing_fingerprints("text", k=8, window=4)).alias("n_winnow_fps"),
+    )
+
+
+@_register("cosine_topk_lsh")
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) cosine top-k — the ANN scale path
+    beside cosine_topk_bruteforce.  Rows-only: approximate by design;
+    recall vs. brute force is asserted in tests/test_similarity.py."""
+    from cid_etl_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(emb, queries, dim=64, k=3, bits=4)
