@@ -200,6 +200,69 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted shingle index.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``round(jaccard, 4) >=
+    threshold``.  Instead of a blocked self-join that evaluates
+    ``array_intersect`` on every candidate pair (O(N²) per block — 138 s
+    at sf0.1, unusable at 100 TB), we explode the distinct shingles and
+    self-join on the shingle itself: each output row of that join IS one
+    common shingle of one pair, so ``count(*)`` grouped by the pair is
+    ``|A ∩ B|`` and ``|A ∪ B| = |A| + |B| - |A ∩ B|``.  Work is
+    proportional to the number of *actually shared* shingles, the
+    aggregate partially combines map-side, and pairs sharing nothing are
+    never materialized (correct for any ``threshold > 0``).  Hot
+    shingles are the skew risk — for web-scale corpora drop shingles
+    with document frequency above a cap, or use MinHash banding
+    (:func:`minhash_dedup_pairs`) as the sub-quadratic path.
+
+    *block_col* (e.g. language) additionally restricts pairs to equal
+    block values, matching the blocked-join semantics.
+    """
+    blk = [F.col(block_col).alias("__blk")] if block_col else []
+    sized = df.select(
+        F.col(id_col).alias("__id"), *blk, shingles(text_col, n).alias("__grams")
+    ).withColumn("__n", F.size("__grams"))
+    ex = sized.select(
+        "__id", *(["__blk"] if block_col else []), "__n", F.explode("__grams").alias("__g")
+    )
+    a = ex.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        *([F.col("__blk").alias("__blk")] if block_col else []),
+        "__g",
+    )
+    b = ex.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        *([F.col("__blk")] if block_col else []),
+        "__g",
+    )
+    keys = (["__blk"] if block_col else []) + ["__g"]
+    common = (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    j = F.round(
+        F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")), 4
+    )
+    return (
+        common.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signature_table(
     df: DataFrame,
     id_col: str,

@@ -1091,29 +1091,17 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with language blocking —
-    the verify stage of near-dup dedup as its own operator.  Blocking
-    (same lang) keeps the self-join off the full N² diagonal; MinHash
-    banding (minhash_lsh_pairs) is the sub-quadratic scale path."""
-    from cid_etl_spark.operators.dedup import jaccard_similarity, shingles
+    """Exact n-gram Jaccard near-dup pairs with language blocking,
+    via the inverted shingle index (operators.dedup
+    .ngram_jaccard_pairs_exact): work scales with shingles actually
+    shared, not with N² candidate pairs — 138 s → ~2 s at sf0.1.
+    MinHash banding (minhash_lsh_pairs) remains the sub-quadratic
+    scale path when even the shared-shingle join is too wide."""
+    from cid_etl_spark.operators.dedup import ngram_jaccard_pairs_exact
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("doc_id"), F.col("lang"), shingles("text", 3).alias("grams")
-    )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("grams").alias("ga")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("lang"), F.col("grams").alias("gb")
-    )
-    j = F.round(jaccard_similarity(F.col("ga"), F.col("gb")), 4)
-    return (
-        a.join(b, ["lang"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= 0.2)
-        .select("id_a", "id_b", "jaccard")
+    return ngram_jaccard_pairs_exact(
+        d, "doc_id", "text", n=3, threshold=0.2, block_col="lang"
     )
 
 
