@@ -80,3 +80,74 @@ def coalesce_columns(df: DataFrame, target: str, preferred: str, fallback: str) 
     return df.withColumn(target, F.coalesce(F.col(preferred), F.col(fallback))).drop(
         *[c for c in (preferred, fallback) if c != target]
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    allow_exact: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` (``<`` when
+    *allow_exact* is false) within the same *by* key — the standard
+    time-series "latest observation" join (DuckDB/Polars/pandas
+    ``ASOF JOIN``; absent from the reference and from Spark built-ins).
+
+    Scale design: NOT a range join (no interval explosion) and NOT a
+    per-key ``groupBy().applyInPandas`` (no Python path).  Both sides
+    are tagged and unioned, then one window pass per key fills the
+    latest right payload forward — a single hash shuffle on *by* plus a
+    per-partition sort, the same cost profile as the priority-dedup
+    window (A3).  Survives 100 TB as long as single keys fit a
+    partition; for hot keys pre-aggregate the right side or split by
+    time range.
+
+    Right rows must be unique per ``(by, right_ts)`` for a
+    deterministic result (pre-aggregate otherwise).  Right payload
+    column names must not collide with left column names.  Unmatched
+    left rows keep NULL right columns (left-outer semantics).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    right_ts = right_ts or left_ts
+    left_payload = [c for c in left.columns if c not in keys]
+    right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload collides with left columns: {sorted(clash)}")
+
+    # side ordering at equal ts decides whether an exact-ts right row
+    # is visible to the left row's window frame
+    l_side, r_side = (1, 0) if allow_exact else (0, 1)
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.struct(*right_payload).alias("__r"),
+    )
+    r_struct_t = r_tagged.schema["__r"].dataType
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
+        F.struct(*left_payload).alias("__l"),
+    )
+    l_struct_t = l_tagged.schema["__l"].dataType
+    u = l_tagged.unionByName(
+        r_tagged.withColumn("__l", F.lit(None).cast(l_struct_t))
+    )
+    # right rows first at equal (ts, allow_exact): asc puts __side=0 first
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    return matched.filter(F.col("__side") == l_side).select(
+        *keys,
+        *[F.col(f"__l.{c}").alias(c) for c in left_payload],
+        *[F.col(f"__m.{c}").alias(c) for c in right_payload],
+    )

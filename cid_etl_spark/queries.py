@@ -1177,3 +1177,57 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return cosine_topk_lsh(emb, queries, dim=64, k=3, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# J. As-of join (time-series latest-observation join; DuckDB ASOF oracle)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "asof_prior_purchase",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id,
+           c.user_id,
+           p.event_id AS prior_event_id,
+           p.value AS prior_value,
+           CAST(floor(epoch(c.ts)) AS BIGINT)
+             - CAST(floor(epoch(p.ts)) AS BIGINT) AS gap_sec
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click event picks up the same user's
+    most recent purchase at-or-before it (operators.joins.asof_join —
+    union + one window pass, single shuffle on user_id; oracle is
+    DuckDB's native ASOF LEFT JOIN).  (by, ts) is unique on the right
+    side in the fixtures, so the survivor is deterministic."""
+    from cid_etl_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("value").alias("prior_value"),
+    )
+    joined = asof_join(clicks, purchases, by="user_id", left_ts="ts", right_ts="p_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "prior_event_id",
+        "prior_value",
+        (F.col("ts").cast("long") - F.col("prior_ts").cast("long")).alias("gap_sec"),
+    )
