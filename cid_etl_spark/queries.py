@@ -1094,9 +1094,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with language blocking,
     via the inverted shingle index (operators.dedup
     .ngram_jaccard_pairs_exact): work scales with shingles actually
-    shared, not with N² candidate pairs — 138 s → ~2 s at sf0.1.
-    MinHash banding (minhash_lsh_pairs) remains the sub-quadratic
-    scale path when even the shared-shingle join is too wide."""
+    shared, not with N² candidate pairs.  Two scale escapes exist with
+    the same contract: PPJoin prefix filtering
+    (ngram_jaccard_pairs_prefix) when hot shingles make the inverted
+    index quadratic in a key, and MinHash banding (minhash_lsh_pairs)
+    as the sub-quadratic approximate path."""
     from cid_etl_spark.operators.dedup import ngram_jaccard_pairs_exact
 
     d = load_table(spark, sf_dir, "documents")
@@ -1231,3 +1233,52 @@ def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_value",
         (F.col("ts").cast("long") - F.col("prior_ts").cast("long")).alias("gap_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K. Multimodal columns (binary payload + typed metadata; north-star)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "media_meta_stats",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(length(sha256(CAST(doc_id AS VARCHAR))) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT kind,
+           COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MAX(n_bytes) AS max_bytes
+    FROM media
+    GROUP BY kind
+    """,
+)
+def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass: deterministic fake media table
+    (multimodal.binary.attach_fake_media — payload = sha2(seed) bytes,
+    standing in for binaryFile reads) aggregated per kind WITHOUT
+    touching Python — the cheap expression-only pre-filter that runs
+    before any decode at 100 TB."""
+    from cid_etl_spark.multimodal.binary import attach_fake_media, extract_media_meta
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_media_meta(attach_fake_media(d, "doc_id", "doc_id"))
+
+
+@_register("media_image_features")
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image 'decode' over the binary payload column
+    (multimodal.binary.decode_image_features — mapInPandas, bytes in /
+    fixed-width features out; codec stubbed, plumbing real).  Rows-only:
+    the stub's byte arithmetic is deliberately not re-expressed in SQL;
+    determinism is asserted in tests/test_multimodal.py."""
+    from cid_etl_spark.multimodal.binary import attach_fake_media, decode_image_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_features(attach_fake_media(d, "doc_id", "doc_id"))
