@@ -43,6 +43,9 @@ HEADLINE = [
     "quality_score_documents",
     "ngram_jaccard_pairs",
     "cosine_topk_lsh",
+    "asof_prior_purchase",
+    "media_meta_stats",
+    "cosine_topk_ivf",
 ]
 
 

@@ -167,3 +167,111 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids over L2-normalized
+    vectors (spherical k-means ≈ cosine geometry), corpus assigned to
+    its nearest cell.
+
+    Returns ``(corpus + __cell column, centroids)``.  Training runs on
+    a sample (*train_fraction*) — at 100 TB you NEVER k-means the full
+    corpus; a few million sampled rows fix the centroids, then cell
+    assignment is one broadcast-centroid narrow pass over everything
+    (no shuffle of the corpus).  Persist the assigned corpus
+    partitioned by ``__cell`` so repeated query batches only read the
+    probed cells — that partition pruning is the entire point of IVF.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.transform(
+        F.col(vec_col),
+        lambda x: x
+        / F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v)),
+    )
+    train = corpus.select(array_to_vector(norm).alias("features"))
+    if train_fraction < 1.0:
+        train = train.sample(train_fraction, seed=seed)
+    train = train.cache()  # k-means re-scans its input every iteration
+    try:
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter, initMode="random"
+        ).fit(train)
+    finally:
+        train.unpersist()
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = corpus.withColumn("__cell", _nearest_cells(norm, centroids, 1)[0])
+    return assigned, centroids
+
+
+def _nearest_cells(norm_vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids (by dot product with a
+    normalized vector — equivalent to cosine) as a pure expression."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(norm_vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.slice(F.array_sort(scored, lambda a, b: F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1).otherwise(a["cell"] - b["cell"])), 1, nprobe)
+    return F.transform(best, lambda x: x["cell"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their *nprobe* nearest
+    k-means cells; exact cosine + window top-k inside the probed cells.
+
+    ``nprobe == n_cells`` degenerates to exact brute force (the unit
+    tests assert this); recall/latency trades off through *nprobe*.
+    Unlike hyperplane LSH, cell population adapts to the data
+    distribution, so skewed corpora don't collapse into one bucket.
+    """
+    assigned, centroids = ivf_assign_cells(
+        corpus, n_cells=n_cells, seed=seed, vec_col=vec_col
+    )
+    qnorm = F.transform(
+        F.col(query_vec_col),
+        lambda x: x
+        / F.sqrt(
+            F.aggregate(F.col(query_vec_col), F.lit(0.0), lambda a, v: a + v * v)
+        ),
+    )
+    probed = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(_nearest_cells(qnorm, centroids, nprobe)).alias("__cell"),
+    )
+    joined = assigned.join(F.broadcast(probed), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

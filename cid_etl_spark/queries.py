@@ -1282,3 +1282,19 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_image_features(attach_fake_media(d, "doc_id", "doc_id"))
+
+
+@_register("cosine_topk_ivf")
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators.similarity.cosine_topk_ivf): k-means
+    coarse quantizer trained on normalized vectors, corpus assigned to
+    cells once, queries probe their 4 nearest of 16 cells.  Rows-only:
+    approximate by design; nprobe=n_cells == brute force is asserted in
+    tests/test_similarity.py."""
+    from cid_etl_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_ivf(emb, queries, k=3, n_cells=16, nprobe=4)

@@ -71,3 +71,33 @@ def test_embedding_neardup_finds_duplicated_vector(spark):
         _vecs(spark, rows), dim=16, threshold=0.99, bits=6
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from cid_etl_spark.operators.similarity import cosine_topk_ivf
+    from cid_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=3).collect()
+    full = cosine_topk_ivf(emb, queries, k=3, n_cells=8, nprobe=8).collect()
+    key = lambda rows: {(r["query_id"], r["vec_id"]) for r in rows}
+    assert key(full) == key(exact)
+
+
+def test_ivf_partial_probe_recall(spark):
+    from cid_etl_spark.operators.similarity import cosine_topk_ivf
+    from cid_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk_bruteforce(emb, queries, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in cosine_topk_ivf(emb, queries, k=3, n_cells=8, nprobe=3).collect()}
+    # each query probes its own cell, so it always finds itself; overall
+    # recall with 3/8 cells probed should be well above chance
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
