@@ -151,3 +151,41 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left_payload],
         *[F.col(f"__m.{c}").alias(c) for c in right_payload],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-splitting equi join: the left (skewed) side's hot keys are
+    spread across *salt_buckets* sub-keys; the right side is replicated
+    once per bucket, so a single hot key's rows land on many tasks
+    instead of one straggler.
+
+    When to use: AQE's skew-join handling
+    (``spark.sql.adaptive.skewJoin``) already splits oversized
+    SortMergeJoin partitions at runtime and should be the FIRST answer
+    to join skew.  Reach for explicit salting when AQE can't help —
+    broadcast-ineligible joins feeding a window over the same hot key,
+    skew in the build side, or engines/paths where AQE is off.  Cost:
+    the right side is materialized ``salt_buckets``× (keep it the
+    smaller input), and the join keys widen by one int column.
+
+    Salt is derived deterministically from a hash of the left row's
+    full key tuple plus its partition-local position — no RNG, stable
+    under retries.  Results are row-identical to the unsalted join
+    (asserted in tests); only the physical distribution changes.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns], F.spark_partition_id()),
+        F.lit(salt_buckets),
+    ).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_left.join(replicated_right, keys + ["__salt"], how).drop("__salt")

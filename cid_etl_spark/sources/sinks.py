@@ -67,3 +67,52 @@ def write_csv_single(
         shutil.copyfileobj(src, dst)
     shutil.rmtree(tmp_dir)
     return out_file
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with optional hive-style partition directories.
+
+    Partition columns become directory keys (``.../lang=en/...``), so
+    any downstream filter on them is PARTITION PRUNING — at 100 TB a
+    query touching one language reads one directory, not the lake.
+    Pick low-cardinality keys (lang, date, source); high-cardinality
+    partitioning creates a small-file explosion instead.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_table_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles data into
+    *num_buckets* hash buckets on *bucket_cols* (optionally sorted
+    within each bucket).
+
+    The payoff is CO-LOCATED JOINS: two tables bucketed the same way
+    on the join key sort-merge-join with NO exchange on either side —
+    the shuffle was paid once at write time and amortizes over every
+    subsequent join/aggregation on that key (asserted in
+    tests/test_sinks.py by checking the physical plan has no Exchange).
+    Use for the 2-3 fact tables a pipeline joins repeatedly (orders ⋈
+    lineitem on orderkey at every turn of this schema).
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(num_buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table)
