@@ -1,0 +1,80 @@
+"""CLI dispatcher — parity with the reference's ``main``
+(etl_cid10.py:374-404): same flag surface, same two modes, same
+"insufficient parameters" failure for a partial combined-mode spec.
+
+Run as ``python -m cid_etl_spark.cli --datasus_dir DIR --out out.csv``
+or with the five combined-mode paths.  The session comes from the
+package factory; on a cluster, spark-submit supplies the master and
+these flags stay identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Sequence
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="cid-etl-spark",
+        description="CID-10 ETL: consolidates DATASUS and structured WHO sources",
+    )
+    parser.add_argument("--datasus", help="flat DATASUS CSV (codigo;descricao)")
+    parser.add_argument("--chapters", help="chapters.csv (structured source)")
+    parser.add_argument("--blocks", help="blocks.csv (structured source)")
+    parser.add_argument("--categories", help="categories.csv (structured source)")
+    parser.add_argument("--subcategories", help="subcategories.csv (structured source)")
+    parser.add_argument(
+        "--datasus_dir",
+        help="directory with the official DataSUS CSVs "
+        "(CAPITULOS/GRUPOS/CATEGORIAS/SUBCATEGORIAS)",
+    )
+    parser.add_argument("--out", default="cid10_consolidado.csv", help="output CSV path")
+    return parser
+
+
+def main(argv: Sequence[str] | None = None) -> str:
+    """Dispatch on ``--datasus_dir`` exactly like the reference
+    (etl_cid10.py:386-395); returns the output path."""
+    args = build_parser().parse_args(argv)
+
+    from cid_etl_spark.plans.cid_pipeline import run_etl, run_etl_from_datasus_dir
+    from cid_etl_spark.session import get_spark
+
+    spark = get_spark("cid-etl-cli")
+    if args.datasus_dir:
+        _, metrics = run_etl_from_datasus_dir(
+            spark, args.datasus_dir, output_csv=args.out
+        )
+    else:
+        required = [
+            args.datasus,
+            args.chapters,
+            args.blocks,
+            args.categories,
+            args.subcategories,
+        ]
+        if not all(required):
+            raise SystemExit(
+                "Insufficient parameters: pass --datasus_dir OR all of "
+                "--datasus/--chapters/--blocks/--categories/--subcategories"
+            )
+        _, metrics = run_etl(
+            spark,
+            args.datasus,
+            args.chapters,
+            args.blocks,
+            args.categories,
+            args.subcategories,
+            output_csv=args.out,
+        )
+    print(
+        f"total codes: {metrics['total']}; "
+        f"missing hierarchy: {metrics.get('missing_hierarchy', 0)}"
+    )
+    print(f"exported: {args.out}")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

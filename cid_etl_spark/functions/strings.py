@@ -53,7 +53,10 @@ def format_subcat(c: Column | str) -> Column:
     non-blank → ``s[:3] + '.' + s[3:]``, else ``s[:3]``.
     """
     s = normalize_code(c)
-    fourth_nonblank = (F.length(s) >= 4) & (F.trim(F.substring(s, 4, 1)) != "")
+    # "blank" in the reference is Python str.strip() — ANY whitespace,
+    # not just the ASCII space that F.trim eats (found by hypothesis:
+    # '000\r0' must collapse to '000', not dot after '\r')
+    fourth_nonblank = (F.length(s) >= 4) & (~F.substring(s, 4, 1).rlike(r"^\s$"))
     dotted = F.concat(F.substring(s, 1, 3), F.lit("."), s.substr(F.lit(4), F.length(s)))
     return F.when(fourth_nonblank, dotted).otherwise(F.substring(s, 1, 3))
 

@@ -160,3 +160,32 @@ def test_run_etl_from_datasus_dir(spark, datasus_dir_fixture):
     assert rows["C02"]["fonte"] == "Estruturada"
     assert metrics["total"] == 3
     assert metrics["missing_hierarchy"] == 0
+
+
+def test_cli_combined_mode(spark, combined_fixture, tmp_path, capsys):
+    from cid_etl_spark.cli import main
+
+    out_csv = str(tmp_path / "cli_out.csv")
+    got = main(
+        [
+            "--datasus", combined_fixture["datasus"],
+            "--chapters", combined_fixture["chapters"],
+            "--blocks", combined_fixture["blocks"],
+            "--categories", combined_fixture["categories"],
+            "--subcategories", combined_fixture["subcategories"],
+            "--out", out_csv,
+        ]
+    )
+    assert got == out_csv
+    assert os.path.exists(out_csv)
+    printed = capsys.readouterr().out
+    assert "total codes:" in printed and "exported:" in printed
+
+
+def test_cli_insufficient_params(spark):
+    import pytest
+
+    from cid_etl_spark.cli import main
+
+    with pytest.raises(SystemExit, match="Insufficient"):
+        main(["--datasus", "/nope.csv"])
