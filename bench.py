@@ -46,6 +46,9 @@ HEADLINE = [
     "asof_prior_purchase",
     "media_meta_stats",
     "cosine_topk_ivf",
+    "array_functions_suite",
+    "date_functions_suite",
+    "full_outer_order_events",
 ]
 
 

@@ -1298,3 +1298,110 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return cosine_topk_ivf(emb, queries, k=3, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# L. Array / date / outer-join built-in surface (free in Spark; oracled)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_functions_suite",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+           list_contains(toks, 'the') AS has_the,
+           CAST(len(list_distinct(toks)) AS INT) AS n_unique
+    FROM t
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split/size/slice/join/contains/distinct as pure
+    expressions (whole-stage codegen; no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+@_register(
+    "date_functions_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch_start,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: year/quarter/month/trunc/last_day/datediff/
+    dayofweek (F10 generalized).  DuckDB's dayofweek is 0=Sunday;
+    Spark's is 1=Sunday — normalized via (dayofweek-1)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.dayofweek(d) - 1).alias("dow"),
+    )
+
+
+@_register(
+    "full_outer_order_events",
+    """
+    WITH o AS (
+        SELECT o_custkey AS k, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT user_id AS k, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.k, e.k) AS k, o.n_orders, e.n_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def full_outer_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (absent from the reference, free in Spark):
+    order counts vs event counts per key, preserving both unmatched
+    sides; pre-aggregated inputs keep the shuffled payload tiny."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    joined = o.alias("o").join(e.alias("e"), F.col("o.k") == F.col("e.k"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.k"), F.col("e.k")).alias("k"),
+        F.col("o.n_orders"),
+        F.col("e.n_events"),
+    )

@@ -105,3 +105,39 @@ def run_stream_to_memory(
         .start()
         .awaitTermination()
     )
+
+
+def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event count + value total, updated every micro-batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows can't express (per-key accumulators, custom session logic,
+    online model state).  State is one small tuple per user — Arrow
+    moves batches in, the update emits one row per user per batch, and
+    the watermark bounds how long idle keys stay resident.  At 100 TB/
+    day the state store only holds |active users| tuples, not events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

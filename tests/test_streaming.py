@@ -105,3 +105,41 @@ def test_stream_dedup_drops_replayed_ids(spark, tmp_path, event_stream_dir):
     n_unique = src.select("event_id").distinct().count()
     got = spark.table("dedup_s").count()
     assert got == n_unique
+
+
+def test_stateful_running_totals_match_batch(spark, event_stream_dir):
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.streaming.events import running_user_totals
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        running_user_totals(stream), "running_totals_s", mode="update"
+    )
+    # update mode emits one row per (user, micro-batch); the final state
+    # is the row with the largest n_events per user
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM running_totals_s) WHERE rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in _batch_events(spark, event_stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u
