@@ -194,8 +194,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_count_quality",
     """
     SELECT COUNT(*) AS total,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
     FROM orders
     """,
 )
@@ -535,7 +535,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
-           SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
