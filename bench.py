@@ -49,6 +49,7 @@ HEADLINE = [
     "array_functions_suite",
     "date_functions_suite",
     "full_outer_order_events",
+    "embedding_neardup_exact",
 ]
 
 
