@@ -54,6 +54,14 @@ def get_spark(app_name: str = "cid-etl-spark", master: str | None = None) -> Spa
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # local mode: driver == executor; the 1g default heap OOMs
+            # wide joins long before the machine does (only effective
+            # when this builder launches the JVM — a cluster's
+            # spark-submit sets its own executor/driver sizing)
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            )
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
