@@ -50,6 +50,8 @@ HEADLINE = [
     "date_functions_suite",
     "full_outer_order_events",
     "embedding_neardup_exact",
+    "top_ngrams_per_lang",
+    "content_flags_documents",
 ]
 
 

@@ -1441,3 +1441,73 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.45)
         .select("id_a", "id_b", "cosine")
     )
+
+
+@_register(
+    "top_ngrams_per_lang",
+    r"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, COUNT(*) AS n
+        FROM toks WHERE tok <> '' GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, tok, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+        FROM counts
+    )
+    SELECT lang, tok, n, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-5 tokens per language —
+    explode → two-level aggregation (map-side combine on (lang, tok))
+    → per-group top-k window.  The everyday 'what's in this corpus'
+    sweep of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "n", "rnk")
+    )
+
+
+@_register(
+    "content_flags_documents",
+    r"""
+    SELECT doc_id,
+           regexp_matches(text, 'https?://') AS has_url,
+           regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+             AS has_email,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS digit_ratio,
+           length(text) > 20 AND length(trim(text)) > 0 AS passes_min_length
+    FROM documents
+    """,
+)
+def content_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy flags: URL/email detection + digit density +
+    minimum-length gate, all regexp expressions (codegen, no shuffle) —
+    the cheap first-pass filter a 100 TB corpus goes through before any
+    expensive scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        t.rlike("https?://").alias("has_url"),
+        t.rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("has_email"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+            / F.greatest(F.length(t), F.lit(1)),
+            4,
+        ).alias("digit_ratio"),
+        ((F.length(t) > 20) & (F.length(F.trim(t)) > 0)).alias("passes_min_length"),
+    )
