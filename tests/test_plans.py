@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the scale claims are properties of the
+executed plan, so they are tested like behavior.  A regression that
+turns a broadcast join into a sort-merge join or drops a pushed filter
+fails HERE, not in a 100 TB production run."""
+
+from __future__ import annotations
+
+from cid_etl_spark.queries import spark_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = spark_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_chain_broadcasts_all_dims(spark):
+    plan = _plan(spark, "join_chain_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_project_filter")
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)" in plan
+    # column pruning: the scan must read exactly the 4 projected columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"c_custkey", "c_name", "c_acctbal", "c_mktsegment"}, cols
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "range_join_acctbal_bands")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_priority_dedup_single_shuffle(spark):
+    plan = _plan(spark, "priority_dedup_orders")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_prior_purchase")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    # map-side combine: a partial_ aggregate must appear below the shuffle
+    plan = _plan(spark, "pricing_summary")
+    assert "partial_" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
