@@ -21,13 +21,14 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The 5-table join chain + decimal-exact grouped aggregation —
-    the engine's most representative relational plan (broadcast dims,
-    one shuffle join, partial aggregation).
+    The composed corpus-curation pipeline: min-length gate → exact
+    dedup → language ID → quality threshold → per-language stats, one
+    lazy plan — the reference's filter→dedup→enrich→aggregate shape on
+    the north-star document workload.
     """
-    from cid_etl_spark.queries import join_chain_revenue
+    from cid_etl_spark.queries import corpus_curation_pipeline
 
-    return join_chain_revenue(spark, _SMOKE_SF_DIR)
+    return corpus_curation_pipeline(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_neardup_exact",
     "top_ngrams_per_lang",
     "content_flags_documents",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -1511,3 +1511,113 @@ def content_flags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit_ratio"),
         ((F.length(t) > 20) & (F.length(F.trim(t)) > 0)).alias("passes_min_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M. Composed corpus-curation pipeline (flagship north-star composition)
+# ---------------------------------------------------------------------------
+
+
+def _curation_sql() -> str:
+    from cid_etl_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    hit_cols = ",\n             ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in sorted(LANG_MARKERS)
+    )
+    lang_case = "\n                ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return rf"""
+    WITH filtered AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) > 20 AND length(trim(text)) > 0
+    ),
+    dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+                  THEN string_split_regex(lower(trim(text)), '\s+')
+                  ELSE []::VARCHAR[] END AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+      FROM dedup
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             {hit_cols},
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sw,
+             CASE WHEN n_nonspace > 0
+                  THEN CAST(n_punct AS DOUBLE) / n_nonspace
+                  ELSE 0.0 END AS pr
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             round(CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END
+                   * CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END
+                   * CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END, 4) AS quality,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  {lang_case}
+                  ELSE 'und' END AS lang_guess
+      FROM m, LATERAL (SELECT greatest(h_de, h_en, h_es, h_fr) AS best) g
+    )
+    SELECT lang_guess,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s
+    WHERE quality >= 0.5
+    GROUP BY lang_guess
+    """
+
+
+@_register("corpus_curation_pipeline", _curation_sql())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data flow — min-length gate → exact dedup
+    (first doc_id survives) → language ID → quality score → threshold →
+    per-language corpus stats — as ONE lazy plan.  Catalyst fuses the
+    gate into the scan, the dedup is the only wide stage before the
+    final aggregation, and every scoring expression is codegen'd; this
+    is the CID consolidation shape (filter→dedup→enrich→aggregate)
+    re-expressed over documents."""
+    from cid_etl_spark.functions.text import lang_id, quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    filtered = d.filter((F.length(t) > 20) & (F.length(F.trim(t)) > 0))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    scored = deduped.select(
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    return scored.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
