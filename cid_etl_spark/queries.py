@@ -1428,19 +1428,13 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (full pairwise cosine) — the
     oracle-checked twin of the LSH-blocked embedding_neardup: same
     contract, O(N²) cost, the correctness baseline LSH recall is judged
-    against.  Run it on samples/partitions, never the full corpus."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb_d")
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb_d").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb_d").alias("__vb"))
-    cos = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 4)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", "cosine")
-    )
+    against.  Computed as an Arrow-batched blocked matmul
+    (operators.similarity.exact_cosine_pairs_blocked); at corpus scale
+    run it per LSH/IVF block or on samples, never the full corpus."""
+    from cid_etl_spark.operators.similarity import exact_cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_cosine_pairs_blocked(emb, threshold=0.45, round_digits=4)
 
 
 @_register(
