@@ -53,6 +53,10 @@ HEADLINE = [
     "top_ngrams_per_lang",
     "content_flags_documents",
     "corpus_curation_pipeline",
+    "percentile_stats_lineitem",
+    "stratified_sample_documents",
+    "pii_redaction_documents",
+    "dau_rolling_events",
 ]
 
 

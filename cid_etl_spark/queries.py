@@ -1615,3 +1615,174 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_quality"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N. Statistical aggregates / sampling / redaction / rolling windows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "percentile_stats_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+           round(stddev_samp(l_quantity), 6)              AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + second-moment statistics per
+    group — the data-profiling sweep a curation pipeline runs before
+    setting quality thresholds.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)·p linear-interpolation
+    definition; stddev/corr are the standard sample estimators.  All
+    one hash-aggregate: partial aggregation map-side, one shuffle on
+    the group key.  (At 100 TB swap ``percentile`` for
+    ``approx_percentile`` — same plan shape, sketch-mergeable.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "stratified_sample_documents",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: cap-N docs per language,
+    selected by md5-hash order — reproducible across runs and engines
+    (no RNG state), uniform within each stratum because the hash is
+    uniform.  One shuffle on the stratum key; at corpus scale this is
+    the standard 'balanced eval subset' builder, and heavy strata
+    can be pre-filtered with a hash-prefix gate so the window only
+    sees ~N candidates per stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_NUM_RE = r"[0-9]{3,}"
+
+
+@_register(
+    "pii_redaction_documents",
+    rf"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT)   AS n_urls,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g') AS step2
+        FROM documents
+    )
+    SELECT doc_id, n_emails, n_urls,
+           CAST(len(regexp_extract_all(step2, '{_NUM_RE}')) AS INT) AS n_numseq,
+           length(regexp_replace(step2, '{_NUM_RE}', '<NUM>', 'g')) AS redacted_len,
+           substr(regexp_replace(step2, '{_NUM_RE}', '<NUM>', 'g'), 1, 40)
+               AS redacted_head
+    FROM counted
+    """,
+)
+def pii_redaction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: emails → <EMAIL>, URLs → <URL>, then long
+    digit runs → <NUM>, with per-doc match counts for audit.  Pure
+    codegen'd regexp expressions (patterns chosen from the common
+    Java-regex/RE2 subset so the DuckDB oracle is bit-identical); order
+    matters — emails first so their digits aren't half-scrubbed.  A
+    narrow map over the corpus: no shuffle, trivially parallel at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    step2 = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    c = d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_URL_RE)).cast("int").alias("n_urls"),
+        step2.alias("step2"),
+    )
+    redacted = F.regexp_replace(F.col("step2"), _NUM_RE, "<NUM>")
+    return c.select(
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        F.regexp_count(F.col("step2"), F.lit(_NUM_RE)).cast("int").alias("n_numseq"),
+        F.length(redacted).alias("redacted_len"),
+        F.substring(redacted, 1, 40).alias("redacted_head"),
+    )
+
+
+@_register(
+    "dau_rolling_events",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, dau, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS events_7d,
+           round(AVG(CAST(dau AS DOUBLE)) OVER w, 6) AS avg_dau_7d
+    FROM daily
+    WINDOW w AS (
+        ORDER BY day - DATE '1970-01-01'
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def dau_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a 7-day rolling event volume and rolling
+    mean DAU — the engagement dashboard shape.  Two-level plan: one
+    hash-aggregate to days (map-side combine crushes the volume), then
+    a RANGE-framed window over the tiny daily table keyed on integer
+    epoch-days (date-ordered RANGE frames need a numeric key in both
+    engines).  The window input is |days| rows regardless of corpus
+    size, so the frame cost never scales with the data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("events_7d"),
+        F.round(F.avg(F.col("dau").cast("double")).over(w), 6).alias("avg_dau_7d"),
+    )
