@@ -57,6 +57,7 @@ HEADLINE = [
     "stratified_sample_documents",
     "pii_redaction_documents",
     "dau_rolling_events",
+    "dedup_clusters_documents",
 ]
 
 

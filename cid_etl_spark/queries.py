@@ -1069,9 +1069,7 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register(
-    "ngram_jaccard_pairs",
-    r"""
+_NGRAM_PAIRS_SQL = r"""
     WITH sh AS (
       SELECT doc_id,
              lang,
@@ -1092,8 +1090,10 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
                 4) >= 0.2
-    """,
-)
+    """
+
+
+@_register("ngram_jaccard_pairs", _NGRAM_PAIRS_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with language blocking,
     via the inverted shingle index (operators.dedup
@@ -1786,3 +1786,37 @@ def dau_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).cast("bigint").alias("events_7d"),
         F.round(F.avg(F.col("dau").cast("double")).over(w), 6).alias("avg_dau_7d"),
     )
+
+
+@_register(
+    "dedup_clusters_documents",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, cc.label
+        FROM cc JOIN edges e ON e.a = cc.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM cc
+    GROUP BY node
+    """,
+)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: n-gram Jaccard pairs resolved to connected
+    components (operators.graph.connected_components, iterative
+    min-label propagation) — the step that turns pairwise dedup output
+    into keep/drop decisions (keep ``doc_id == cluster_id``).  The
+    oracle walks the same transitive closure with a recursive CTE;
+    both converge to min-id-per-component."""
+    from cid_etl_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
