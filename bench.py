@@ -81,6 +81,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
+        # steady-state hygiene: let the JVM collect the previous query's
+        # shuffle/broadcast garbage OUTSIDE the timed window, so each
+        # number reflects the query, not its predecessor's GC debt
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -37,6 +37,10 @@ DEFAULT_CONF: dict[str, str] = {
     # timestamps in fixtures are timezone-naive; keep session TZ fixed so
     # date_trunc/window results are reproducible anywhere
     "spark.sql.session.timeZone": "UTC",
+    # long-lived sessions run many heavy queries back-to-back; reclaim
+    # shuffle/broadcast state promptly instead of letting GC debt land
+    # on whatever query runs next (default is 30min)
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
