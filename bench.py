@@ -58,6 +58,7 @@ HEADLINE = [
     "pii_redaction_documents",
     "dau_rolling_events",
     "dedup_clusters_documents",
+    "salted_agg_lineitem",
 ]
 
 

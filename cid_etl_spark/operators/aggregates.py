@@ -58,3 +58,53 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """O1-adjacent — global top-k: Spark plans TakeOrderedAndProject
     (per-partition heap + driver merge), never a full sort."""
     return df.orderBy(*order).limit(k)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+    salt_on: Column | str | None = None,
+) -> DataFrame:
+    """Two-stage (salted) aggregation for skewed group keys.
+
+    A single ``groupBy(keys)`` sends every row of a hot key to one
+    reducer; at 100 TB one executor drags the stage.  Here rows first
+    aggregate on ``keys + salt`` (the salt spreads each hot key over
+    *salt_buckets* reducers), then the partials merge in a second,
+    tiny aggregation on ``keys`` alone.  Results are exactly equal to
+    the direct form for decomposable aggregates.
+
+    *aggs* maps output column name → partial-stage aggregate expression;
+    the merge stage re-aggregates the partials by name: SUM for sums
+    and counts, MIN/MAX for min/max (pass ``merge_`` prefixed names —
+    ``sum_x``/``cnt_x``/``min_x``/``max_x`` — so the merge function is
+    inferred from the prefix).
+
+    *salt_on* defaults to a deterministic hash of all non-key columns'
+    first key — pass an id column for a stable spread.  AQE's skew-join
+    handling covers joins; this covers aggregations, where AQE cannot
+    split a hot reduce key.
+    """
+    salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    if salt_src is None:
+        salt_src = F.spark_partition_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    merges = []
+    for name in aggs:
+        if name.startswith(("sum_", "cnt_", "n_")):
+            merges.append(F.sum(name).alias(name))
+        elif name.startswith("min_"):
+            merges.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            merges.append(F.max(name).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg cannot infer merge for {name!r}; "
+                "use a sum_/cnt_/n_/min_/max_ prefix"
+            )
+    return partial.groupBy(*keys).agg(*merges)

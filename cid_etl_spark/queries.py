@@ -1820,3 +1820,45 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@_register(
+    "salted_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators.aggregates
+    .salted_agg): lineitem has only 3 return flags — the textbook hot
+    reduce key.  Rows pre-aggregate on (key, salt) so each hot key
+    spreads over 16 reducers, then the 48 partials merge on the key
+    alone.  Exactly equal to the direct groupBy (the oracle IS the
+    direct form); AQE splits skewed joins but cannot split a hot
+    aggregation key — salting is the scale path for that."""
+    from cid_etl_spark.operators.aggregates import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            "n_rows": F.count(F.lit(1)),
+            "max_price": F.max("l_extendedprice"),
+        },
+        salt_buckets=16,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "max_price",
+    )

@@ -58,3 +58,36 @@ def test_pricing_summary_partial_aggregation(spark):
     plan = _plan(spark, "pricing_summary")
     assert "partial_" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_agg_two_stage_no_single_hot_key(spark):
+    # two aggregation levels: (key, salt) partials then key merge —
+    # four HashAggregate nodes (partial+final per level)
+    plan = _plan(spark, "salted_agg_lineitem")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "__salt" in plan, plan
+
+
+def test_pii_redaction_prunes_scan(spark):
+    import re
+
+    plan = _plan(spark, "pii_redaction_documents")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_percentile_stats_partial_aggregation(spark):
+    # exact percentile still aggregates map-side first (partial) —
+    # one shuffle carries sketch buffers, not raw rows
+    plan = _plan(spark, "percentile_stats_lineitem")
+    assert "partial_percentile" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    plan = _plan(spark, "stratified_sample_documents")
+    # one exchange for the stratum window (plus the fixture spread
+    # repartition); no join, no extra aggregation exchanges
+    assert "Window" in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
