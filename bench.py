@@ -59,6 +59,9 @@ HEADLINE = [
     "dau_rolling_events",
     "dedup_clusters_documents",
     "salted_agg_lineitem",
+    "decontaminate_documents",
+    "quantile_trim_documents",
+    "corpus_mixture_sample",
 ]
 
 

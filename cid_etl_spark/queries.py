@@ -1862,3 +1862,139 @@ def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         "max_price",
     )
+
+
+_DECON_GRAMS_CTE = r"""
+    WITH grams AS (
+        SELECT doc_id,
+               md5(unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 1) + 1),
+                   i -> array_to_string(tk[i:i+2], ' '))))) AS gram_hash
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS tk
+              FROM documents)
+    ),
+    bench AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 97 = 0)
+"""
+
+
+@_register(
+    "decontaminate_documents",
+    _DECON_GRAMS_CTE
+    + """
+    SELECT g.doc_id,
+           CAST(COUNT(DISTINCT g.gram_hash) AS BIGINT) AS n_shared_ngrams
+    FROM grams g JOIN bench USING (gram_hash)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.decontaminate): docs with
+    doc_id % 97 == 0 stand in for an eval suite; every other doc is
+    scored by how many distinct word trigrams it shares with that
+    suite.  The benchmark's gram set is broadcast, so the 100 TB side
+    is a map-side hash join + one groupBy(doc_id) — the corpus is never
+    shuffled by gram.  The reference has no corpus ops at all
+    (/root/reference/etl_cid10.py is a CSV ETL); this is north-star
+    training-data hygiene."""
+    from cid_etl_spark.operators.decontaminate import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    rep = contamination_report(corpus, bench, "doc_id", "text", n=3)
+    return rep.select(
+        "doc_id", F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams")
+    )
+
+
+@_register(
+    "quantile_trim_documents",
+    """
+    WITH b AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents, b
+    WHERE n_chars BETWEEN lo AND hi
+    GROUP BY lang
+    """,
+)
+def quantile_trim_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-quantile outlier trim: keep docs whose length sits inside
+    the corpus-wide [p5, p95] band, then per-language survivor stats.
+    The two exact percentiles are ONE tiny aggregate broadcast back
+    over the scan (crossJoin of a 1-row frame) — the pattern for any
+    'filter by a global statistic' pass at scale: no self-join, no
+    second shuffle of the fact table; Spark `percentile` and DuckDB
+    `quantile_cont` share linear-interpolation semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    band = d.agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    kept = d.crossJoin(F.broadcast(band)).filter(
+        F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )
+
+
+# Deterministic per-source sampling rates for the corpus-mixture query:
+# src{i} keeps ((i*7) % 19 + 1)/20 of its docs (5%..95%, varied).  The
+# gate compares the first 4 hex chars of md5(doc_id) against the rate's
+# 16-bit hex threshold — identical strings in Spark and DuckDB, no RNG.
+_MIXTURE_THRESHOLDS: dict[str, str] = {
+    f"src{i}": format(int(((i * 7) % 19 + 1) / 20 * 65536), "04x") for i in range(20)
+}
+
+
+def _mixture_values_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', '{t}')" for s, t in sorted(_MIXTURE_THRESHOLDS.items())
+    )
+    return f"(VALUES {rows}) AS w(source, thr)"
+
+
+@_register(
+    "corpus_mixture_sample",
+    f"""
+    SELECT d.source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN {_mixture_values_sql()} USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+    GROUP BY d.source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: each source is down-sampled to its own
+    rate (the standard 'mix N datasets by weight' step before
+    training).  Rates live in a tiny weights table broadcast onto the
+    corpus; the keep/drop gate is a deterministic md5-prefix
+    comparison, so the sample is reproducible across runs, engines and
+    partitionings — re-running on 100 TB yields the same rows, and the
+    whole pass is map-side (one shuffle only for the final per-source
+    count)."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        sorted(_MIXTURE_THRESHOLDS.items()), "source string, thr string"
+    )
+    sampled = d.join(F.broadcast(weights), "source").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("thr")
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
