@@ -62,6 +62,11 @@ HEADLINE = [
     "decontaminate_documents",
     "quantile_trim_documents",
     "corpus_mixture_sample",
+    "repetition_filter_documents",
+    "tfidf_top_terms",
+    "funnel_events",
+    "fuzzy_match_nations",
+    "scd_upsert_orders",
 ]
 
 

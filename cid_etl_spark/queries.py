@@ -1998,3 +1998,274 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@_register(
+    "repetition_filter_documents",
+    r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS distinct_ratio,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> array_to_string(t[i:i+1], ' ')))
+                   AS gram
+        FROM tk WHERE len(t) >= 2
+    ),
+    g1 AS (
+        SELECT doc_id, distinct_ratio, gram, COUNT(*) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    g2 AS (
+        SELECT doc_id, distinct_ratio,
+               round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+        FROM g1 GROUP BY 1, 2
+    )
+    SELECT doc_id, distinct_ratio, top_bigram_frac,
+           (top_bigram_frac < 0.1 AND distinct_ratio > 0.4) AS keep
+    FROM g2
+    """,
+)
+def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-document distinct
+    token ratio (map-side, pure expressions) and top-bigram fraction
+    (most frequent word bigram over all bigrams).  The reference has no
+    corpus ops (/root/reference/etl_cid10.py is a CSV ETL); this is the
+    standard repetition gate from the Gopher/MassiveText cleaning
+    recipe.  Scale shape: non-distinct bigrams explode once, then two
+    partial-agg shuffles keyed by doc_id — no self-joins, no windows,
+    work linear in corpus token count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    base = toks.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+        ).alias("distinct_ratio"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(2))),
+            )
+        ).alias("gram"),
+    )
+    g1 = base.groupBy("doc_id", "distinct_ratio", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g2 = g1.groupBy("doc_id", "distinct_ratio").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return g2.select(
+        "doc_id",
+        "distinct_ratio",
+        "top_bigram_frac",
+        (
+            (F.col("top_bigram_frac") < 0.1) & (F.col("distinct_ratio") > 0.4)
+        ).alias("keep"),
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+    FROM tf JOIN df_t USING (term), n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term ASC
+    ) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction).  One
+    explode+shuffle builds term frequencies; document frequency reuses
+    that shuffle output and is vocabulary-sized, so it is BROADCAST
+    back (no second shuffle of the corpus); the corpus row count is a
+    1-row broadcast cross join.  Ranking rounds the score FIRST and
+    tie-breaks on the term so row_number is deterministic in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@_register(
+    "funnel_events",
+    """
+    WITH g AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full_funnel
+    FROM g
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): one
+    shuffle keyed by user collapses each user to first-touch times per
+    stage, then a single global roll-up counts users whose stage times
+    are strictly ordered.  No self-joins (the naive funnel is an
+    O(stages) chain of joins on events)."""
+    e = load_table(spark, sf_dir, "events")
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))
+    g = e.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    after = lambda a, b: F.col(a) > F.col(b)
+    return g.agg(
+        count_if(F.col("t_view").isNotNull()).alias("n_view"),
+        count_if(after("t_click", "t_view")).alias("n_view_then_click"),
+        count_if(
+            after("t_click", "t_view") & after("t_purchase", "t_click")
+        ).alias("n_full_funnel"),
+    )
+
+
+@_register(
+    "fuzzy_match_nations",
+    """
+    WITH typos AS (
+        SELECT n_nationkey AS src_key,
+               concat(substr(n_name, 1, 2), substr(n_name, 4)) AS typo
+        FROM nation
+    )
+    SELECT t.typo, n.n_name AS matched,
+           CAST(levenshtein(t.typo, n.n_name) AS INT) AS dist
+    FROM typos t JOIN nation n
+      ON substr(t.typo, 1, 1) = substr(n.n_name, 1, 1)
+     AND levenshtein(t.typo, n.n_name) <= 2
+    """,
+)
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: every nation name with its 3rd character
+    dropped is matched back against the clean list by edit distance
+    <= 2.  The scale pattern is BLOCKING: the join carries an equi key
+    (first character — in production a phonetic/prefix/length block) so
+    Spark hash-partitions on the block instead of a full cross product,
+    and levenshtein only runs within blocks.  Dirty side here derives
+    from the nation table itself so both engines see identical
+    deterministic input."""
+    n = load_table(spark, sf_dir, "nation")
+    typos = n.select(
+        F.col("n_nationkey").alias("src_key"),
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substring(n_name, 4)")
+        ).alias("typo"),
+    )
+    clean = n.select("n_name")
+    joined = typos.join(
+        F.broadcast(clean),
+        (F.substring("typo", 1, 1) == F.substring("n_name", 1, 1))
+        & (F.levenshtein("typo", "n_name") <= 2),
+    )
+    return joined.select(
+        "typo",
+        F.col("n_name").alias("matched"),
+        F.levenshtein("typo", "n_name").cast("int").alias("dist"),
+    )
+
+
+@_register(
+    "scd_upsert_orders",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               o_totalprice + 1.0 AS o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice, version
+            FROM updates
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC
+        ) = 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def scd_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-wins upsert (SCD type 1): a deterministic
+    updates feed (every 10th order re-priced, status 'X') merges over
+    the base table by key with the higher version winning — unionByName
+    + one row_number window on the key, the standard Spark merge shape
+    when the sink isn't a transactional table format.  Post-merge
+    status roll-up verifies the winner rows."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("total_price"),
+    )
