@@ -67,6 +67,7 @@ HEADLINE = [
     "funnel_events",
     "fuzzy_match_nations",
     "scd_upsert_orders",
+    "bloom_semi_join_lineitem",
 ]
 
 
