@@ -141,3 +141,39 @@ def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFr
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def purchases_with_recent_click(
+    stream: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same
+    user's clicks in the preceding *horizon*.
+
+    Both sides carry watermarks AND the join condition bounds event
+    time on both inputs — that pair is what lets Spark expire join
+    state: a click older than ``purchase_ts - horizon`` (modulo
+    watermark slack) can never match again and is evicted.  Without
+    the time bound the state store grows with the full click history.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("user_id", "purchase_ts", "click_ts", "value")

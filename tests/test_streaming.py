@@ -143,3 +143,38 @@ def test_stateful_running_totals_match_batch(spark, event_stream_dir):
     for u in want:
         assert got[u][0] == want[u][0], u
         assert abs(got[u][1] - want[u][1]) < 1e-6, u
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir):
+    from cid_etl_spark.streaming.events import purchases_with_recent_click
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    # fixture files are NOT time-ordered, so a tight watermark would
+    # (correctly) drop cross-batch late rows; a watermark wider than
+    # the fixture's 30-day span keeps the multi-batch run lossless for
+    # exact batch parity while still exercising join-state plumbing.
+    run_stream_to_memory(
+        purchases_with_recent_click(stream, watermark="40 days"),
+        "ssj_s",
+        mode="append",
+    )
+    got = {
+        (r["user_id"], r["purchase_ts"], r["click_ts"])
+        for r in spark.table("ssj_s").collect()
+    }
+    e = _batch_events(spark, event_stream_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).collect()
+    want = {(r["user_id"], r["purchase_ts"], r["click_ts"]) for r in batch}
+    assert got == want
+    assert want  # fixture actually produces joined rows
