@@ -68,6 +68,8 @@ HEADLINE = [
     "fuzzy_match_nations",
     "scd_upsert_orders",
     "bloom_semi_join_lineitem",
+    "semantic_dedup_exact_embeddings",
+    "semantic_dedup_embeddings",
 ]
 
 

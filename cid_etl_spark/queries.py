@@ -2306,3 +2306,56 @@ def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         money(decimal_sum("l_extendedprice")).alias("sum_price"),
     )
+
+
+@_register(
+    "semantic_dedup_exact_embeddings",
+    """
+    WITH dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.45
+    )
+    SELECT label,
+           COUNT(*) AS n_kept,
+           CAST(MIN(vec_id) AS BIGINT) AS min_kept_id
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    GROUP BY label
+    """,
+)
+def semantic_dedup_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, exact global rule (operators.similarity.
+    semantic_dedup_exact): a row is dropped iff any lower-id row has
+    cosine >= 0.45; survivors rolled up per label.  The pair list comes
+    from the Arrow blocked matmul; this O(N^2) variant is the
+    correctness baseline for the SemDeDup celled variant
+    (semantic_dedup_embeddings, rows-only)."""
+    from cid_etl_spark.operators.similarity import semantic_dedup_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup_exact(emb, threshold=0.45)
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").cast("bigint").alias("min_kept_id"),
+    )
+
+
+@_register("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup celled variant: IVF k-means clusters bound the O(N^2)
+    pairwise pass to within-cell matmuls (sum of cell^2 << N^2); drops
+    are a subset of the exact rule's (tests pin that).  No SQL oracle —
+    the k-means quantizer isn't expressible in DuckDB; the driver
+    records a rows-only check and tests/test_similarity.py carries the
+    semantics."""
+    from cid_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, threshold=0.45, n_cells=8)
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").cast("bigint").alias("min_kept_id"),
+    )

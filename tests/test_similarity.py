@@ -13,6 +13,9 @@ from cid_etl_spark.operators.similarity import (
     cosine_topk_lsh,
     embedding_neardup_pairs,
 )
+from cid_etl_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _vecs(spark, rows):
@@ -101,3 +104,52 @@ def test_ivf_partial_probe_recall(spark):
     # recall with 3/8 cells probed should be well above chance
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_semantic_dedup_exact_rule(spark):
+    from cid_etl_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        semantic_dedup,
+        semantic_dedup_exact,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kept_exact = {
+        r["vec_id"]
+        for r in semantic_dedup_exact(emb, threshold=0.45).select("vec_id").collect()
+    }
+    # every dropped id has a lower-id partner at >= threshold
+    pairs = exact_cosine_pairs_blocked(emb, threshold=0.45).collect()
+    droppable = {r["id_b"] for r in pairs}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept_exact == all_ids - droppable
+    assert droppable, "fixture should contain near-dups at 0.45"
+
+    # n_cells=1 degrades to the exact global rule
+    kept_one_cell = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.45, n_cells=1)
+        .select("vec_id")
+        .collect()
+    }
+    assert kept_one_cell == kept_exact
+
+
+def test_semantic_dedup_celled_drops_are_justified(spark):
+    from cid_etl_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.45, n_cells=8)
+        .select("vec_id")
+        .collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - kept
+    # a celled drop must be justified by a real lower-id near-dup
+    justified = {r["id_b"] for r in exact_cosine_pairs_blocked(emb, 0.45).collect()}
+    assert dropped <= justified
