@@ -88,6 +88,20 @@ def main() -> None:
     queries["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and spin up the reusable Python/Arrow worker pool so the first
+    # pandas-UDF query is charged for its work, not for forking 32
+    # workers and importing numpy/pandas in each
+    def _warm(batches):
+        # preload the heavy imports into the reused worker pool
+        import numpy  # noqa: F401
+        import pandas as _pd
+
+        _pd.util.hash_array(__import__("numpy").array(["warm"], dtype=object))
+        yield from batches
+
+    spark.range(256, numPartitions=2 * spark.sparkContext.defaultParallelism).mapInPandas(
+        _warm, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -394,7 +396,16 @@ def minhash_dedup_pairs(
     exact-verify join then moves shingle arrays for candidate rows
     only — at 100 TB that's the difference between feasible and not.
     """
-    signed = minhash_signature_table(df, id_col, text_col, shingle_n, num_hashes, seed)
+    signed = minhash_signature_table_arrow(
+        df, id_col, text_col, shingle_n, num_hashes, seed
+    )
+    # Materialize the signature table: it is k×8 bytes per DOCUMENT
+    # (thousands of times smaller than the corpus), while the plan
+    # below consumes it four times (both self-join sides + downstream).
+    # Without the barrier Spark recomputes the shingle+sign pipeline —
+    # i.e. re-reads the corpus — once per consumer.
+    signed = signed.persist()
+    signed.count()
     rows_per_band = max(num_hashes // num_bands, 1)
     band_hashes = F.array(
         *[
@@ -418,9 +429,27 @@ def minhash_dedup_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    # candidate list is tiny (bucket collisions only) but consumed three
+    # times below — materialize it so each consumer doesn't replay the
+    # band self-join
+    pairs = pairs.persist()
+    pairs.count()
+    # shingle ONLY candidate rows: semi-join the corpus against the
+    # candidate ids first, so the (expensive) shingle arrays are built
+    # for collision rows, never the whole corpus
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
     )
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .join(cand_ids, "__id", "left_semi")
+        .select("__id", shingles("__text", shingle_n).alias("__sh"))
+    )
+    # joins left un-hinted: AQE broadcasts whichever side is actually
+    # small at runtime (candidates in the common case; never a blown
+    # broadcast when a pathological corpus yields huge candidate sets)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -523,9 +552,14 @@ def simhash_dedup_pairs(
     """
     n_chunks = min(max_hamming + 1, 32)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    fp = simhash_table(df, id_col, text_col, n).select(
+    fp = simhash_table_arrow(df, id_col, text_col, n).select(
         F.col("__id"), F.col("__fp")
     )
+    # 16 bytes per document — materialize so the chunk self-join's two
+    # sides and the Hamming verify all reuse it instead of re-scanning
+    # the corpus (same rationale as minhash_dedup_pairs).
+    fp = fp.persist()
+    fp.count()
     chunk_exprs = [
         F.shiftrightunsigned(F.col("__fp"), lo).bitwiseAND(
             F.lit((1 << (hi - lo)) - 1).cast("bigint")
@@ -558,3 +592,144 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _shingle_hashes_py(texts, n: int) -> "tuple":
+    """Vectorized Python-side word-shingle hashing for the Arrow
+    signers: per text, DISTINCT word n-gram hashes (64-bit, via
+    ``pandas.util.hash_array`` — deterministic siphash, identical on
+    every executor and run).
+
+    Rationale: Spark's array higher-order functions (transform /
+    concat_ws-over-slice / array_distinct) evaluate INTERPRETED per
+    element — measured ~0.4 ms/doc just to build shingle arrays, which
+    dominated minhash/simhash wall time.  Tokenizing and joining in
+    Python then hashing one flat numpy array is ~10× cheaper and keeps
+    the whole feature pipeline inside the same Arrow batch.
+
+    Returns ``(flat_hashes: uint64 ndarray, lens: int64 ndarray)`` —
+    the concatenated per-text distinct hashes and each text's count.
+    """
+    import numpy as np
+
+    all_grams: list[np.ndarray] = []
+    lens = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split() if isinstance(t, str) else []
+        if len(toks) >= n:
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        elif toks:
+            grams = [" ".join(toks)]
+        else:
+            lens[i] = 0
+            continue
+        h = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+        all_grams.append(h)
+        lens[i] = len(h)
+    flat = (
+        np.concatenate(all_grams) if all_grams else np.empty(0, dtype=np.uint64)
+    )
+    return flat, lens
+
+
+def minhash_signature_table_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures, Arrow path: the whole feature pipeline —
+    tokenize, shingle, hash, k permutation-mins — runs vectorized
+    inside ONE ``mapInPandas`` pass; the Spark plan is a trivial
+    ``lower(trim(text))`` projection.
+
+    Structural wins over the explode+groupBy formulation
+    (:func:`minhash_signature_table`):
+
+    - **No shuffle at all**: each document's signature is computed
+      where the document lives — signing is fully map-side.
+    - **No codegen bomb**: ``k`` separate ``min()`` aggregates compile
+      a huge Janino function (~9 s cold at k=32 — measured).
+    - **No interpreted HOFs**: Spark's array lambdas evaluate per
+      element outside codegen (~0.4 ms/doc for shingling alone —
+      measured); the numpy path hashes one flat array per batch and
+      takes segment minima with ``np.minimum.reduceat``.
+
+    Signature values differ from :func:`minhash_signature_table` (a
+    different 64-bit base hash), but MinHash guarantees hold for any
+    uniform hash; downstream Jaccard verification is exact either way.
+    """
+    import numpy as np
+
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    p = np.int64(_MERSENNE_31)
+
+    prepped = df.select(
+        F.col(id_col).alias("__id"), F.lower(F.trim(F.col(text_col))).alias("__t")
+    )
+    out_fields = ", ".join(f"mh_{i} bigint" for i in range(num_hashes))
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def sign(batches):
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            flat, lens = _shingle_hashes_py(pdf["__t"].tolist(), shingle_n)
+            # 31-bit base hash keeps a*h in int64 range
+            flat = (flat & np.uint64(_MERSENNE_31)).astype(np.int64)
+            keep = lens > 0
+            out = np.full((n_rows, len(a_vec)), p, dtype=np.int64)
+            if keep.any():
+                perm = (a_vec * flat[None, :] + b_vec) % p
+                offsets = np.zeros(int(keep.sum()), dtype=np.int64)
+                np.cumsum(lens[keep][:-1], out=offsets[1:])
+                out[keep] = np.minimum.reduceat(perm, offsets, axis=1).T
+            cols = {"__id": pdf["__id"].to_numpy()}
+            cols.update({f"mh_{i}": out[:, i] for i in range(len(a_vec))})
+            yield pd.DataFrame(cols)
+
+    return prepped.mapInPandas(sign, schema=f"__id {id_field}, {out_fields}")
+
+
+def simhash_table_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprints, Arrow path (same design as
+    :func:`minhash_signature_table_arrow`): tokenize + shingle + hash +
+    64 per-bit majority votes all inside one vectorized ``mapInPandas``
+    pass over ``lower(trim(text))``.  Fully map-side, no shuffle, no
+    interpreted array lambdas, no 64-aggregate codegen unit."""
+    import numpy as np
+
+    prepped = df.select(
+        F.col(id_col).alias("__id"), F.lower(F.trim(F.col(text_col))).alias("__t")
+    )
+    id_field = df.schema[id_col].dataType.simpleString()
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, lens = _shingle_hashes_py(pdf["__t"].tolist(), n)
+            fps = np.zeros(len(pdf), dtype=np.uint64)
+            keep = lens > 0
+            if keep.any():
+                bitmat = (
+                    (flat[:, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+                offsets = np.zeros(int(keep.sum()), dtype=np.int64)
+                np.cumsum(lens[keep][:-1], out=offsets[1:])
+                counts = np.add.reduceat(bitmat, offsets, axis=0)
+                maj = (counts * 2 > lens[keep][:, None]).astype(np.uint64)
+                fps[keep] = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].to_numpy(), "__fp": fps.view(np.int64)}
+            )
+
+    return prepped.mapInPandas(sign, schema=f"__id {id_field}, __fp bigint")
