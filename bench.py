@@ -107,9 +107,12 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        # steady-state hygiene: let the JVM collect the previous query's
-        # shuffle/broadcast garbage OUTSIDE the timed window, so each
-        # number reflects the query, not its predecessor's GC debt
+        # steady-state hygiene: drop any DataFrames the previous query
+        # persisted (pair-dedup pipelines cache their signature/index
+        # tables) and let the JVM collect its shuffle/broadcast garbage
+        # OUTSIDE the timed window, so each number reflects the query,
+        # not its predecessor's cache pressure or GC debt
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -202,6 +202,88 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _gram_hashes_exploded(texts, n: int) -> "tuple":
+    """Distinct word-n-gram hashes per text, replicating EXACTLY the
+    tokenization of :func:`shingles` (and therefore of the DuckDB
+    oracles written against it): ``lower`` → trim *spaces only* →
+    split on Java ``\\s+`` keeping empty edge tokens → n-gram join with
+    ``' '`` → distinct.  The only difference is that each gram leaves
+    the batch as a 64-bit deterministic hash
+    (``pandas.util.hash_array`` siphash) instead of a string.
+
+    Returns ``(flat: uint64 ndarray, lens: int64 ndarray)``.
+    """
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s, not Python unicode \s
+    all_grams: list = []
+    lens = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str):
+            continue  # null text: shingles() yields null, explode drops it
+        toks = ws.split(t.lower().strip(" "))
+        if len(toks) > n:
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        else:
+            grams = [" ".join(toks)]
+        h = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+        all_grams.append(h)
+        lens[i] = len(h)
+    flat = np.concatenate(all_grams) if all_grams else np.empty(0, dtype=np.uint64)
+    return flat, lens
+
+
+def shingle_index_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Inverted shingle index: one row per ``(document, distinct
+    shingle)`` with the shingle as a BIGINT hash — ``(__id[, __blk],
+    __n, __g)`` where ``__n`` is the document's distinct-shingle count.
+
+    Built in ONE vectorized ``mapInPandas`` pass (tokenize → n-gram →
+    hash → unique, all numpy/siphash inside the Arrow batch), so the
+    Spark plan is a bare projection: no interpreted array HOFs
+    (~0.4 ms/doc measured), no string array materialization, no
+    ``explode``.  Downstream joins key on the 8-byte hash instead of a
+    20-30 byte gram string — roughly 3× less shuffle volume, and the
+    join itself is a long-vs-long comparison.
+    """
+    import numpy as np
+
+    cols = [F.col(id_col).alias("__id")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk"))
+    cols.append(F.col(text_col).alias("__t"))
+    prepped = df.select(*cols)
+    id_field = df.schema[id_col].dataType.simpleString()
+    blk_field = (
+        f", __blk {df.schema[block_col].dataType.simpleString()}" if block_col else ""
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, lens = _gram_hashes_exploded(pdf["__t"].tolist(), n)
+            rep = np.repeat(np.arange(len(pdf)), lens)
+            out = {"__id": pdf["__id"].to_numpy()[rep]}
+            if block_col:
+                out["__blk"] = pdf["__blk"].to_numpy()[rep]
+            out["__n"] = lens[rep]
+            out["__g"] = flat.view(np.int64)
+            yield pd.DataFrame(out)
+
+    return prepped.mapInPandas(
+        expand, schema=f"__id {id_field}{blk_field}, __n bigint, __g bigint"
+    )
+
+
 def ngram_jaccard_pairs_exact(
     df: DataFrame,
     id_col: str,
@@ -228,14 +310,19 @@ def ngram_jaccard_pairs_exact(
 
     *block_col* (e.g. language) additionally restricts pairs to equal
     block values, matching the blocked-join semantics.
+
+    The index rows are built by :func:`shingle_index_arrow` (vectorized
+    Arrow pass, grams as 64-bit hashes) and persisted: the self-join
+    consumes the index twice, and without the barrier the whole
+    tokenize+hash pipeline — i.e. the corpus scan — runs once per side.
+    Intersection counts over hashed grams equal string-gram counts
+    absent a 64-bit collision *within one document pair's union*
+    (probability ~m²·2⁻⁶⁴ for m shared shingles — negligible even at
+    100 TB corpus scale, and any collision only perturbs one pair's
+    count by 1).
     """
-    blk = [F.col(block_col).alias("__blk")] if block_col else []
-    sized = df.select(
-        F.col(id_col).alias("__id"), *blk, shingles(text_col, n).alias("__grams")
-    ).withColumn("__n", F.size("__grams"))
-    ex = sized.select(
-        "__id", *(["__blk"] if block_col else []), "__n", F.explode("__grams").alias("__g")
-    )
+    ex = shingle_index_arrow(df, id_col, text_col, n, block_col).persist()
+    ex.count()
     a = ex.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
