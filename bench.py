@@ -70,6 +70,11 @@ HEADLINE = [
     "bloom_semi_join_lineitem",
     "semantic_dedup_exact_embeddings",
     "semantic_dedup_embeddings",
+    "span_dedup_documents",
+    "pack_sequences_documents",
+    "resample_gapfill_events",
+    "flatten_props_udtf",
+    "hll_daily_users_events",
 ]
 
 

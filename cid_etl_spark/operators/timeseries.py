@@ -1,0 +1,78 @@
+"""Time-series resampling operators.
+
+The reference has no time-series surface (its only date handling is a
+load-date stamp, etl_cid10.py:187,363); this is north-star extension
+territory: the hypertable-style "resample to a fixed grid + carry the
+last observation forward" operator every metrics/feature pipeline
+needs.  Expressed Spark-first:
+
+- bucketing is ``F.window`` (epoch-aligned tumbling windows, JVM-side,
+  codegen'd — identical alignment to DuckDB/TimescaleDB
+  ``time_bucket``);
+- the dense grid comes from ``sequence()`` + ``explode`` on the
+  per-key bounds row — the grid generator runs on ONE row per key and
+  never shuffles the fact table a second time;
+- forward fill is ``last(value, ignorenulls=True)`` over an
+  unbounded-preceding row frame — one shuffle on the key, then a
+  single per-partition sort.
+
+Scale: state per key is one running value, so the fill parallelizes
+across keys; a key whose grid is itself huge (years of seconds) should
+be additionally range-split by calendar chunk with the fill re-seeded
+from each chunk's last value — noted here as the 100 TB escape hatch,
+not needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    bucket_minutes: int = 15,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Average *value_col* into epoch-aligned ``bucket_minutes`` buckets
+    per *keys*, densify each key's range to a gap-free grid, and
+    forward-fill empty buckets with the last observed average.
+
+    Returns ``(*keys, bucket_ts, avg_value, is_gap)`` where ``is_gap``
+    marks buckets that had no events (their ``avg_value`` is carried
+    forward; leading gaps before the first observation stay NULL — but
+    note the grid starts at each key's first observed bucket, so
+    leading gaps only occur when a caller widens the bounds).
+    """
+    keys = list(keys)
+    win = F.window(F.col(ts_col), f"{bucket_minutes} minutes")
+    per = df.groupBy(*keys, win.start.alias("bucket_ts")).agg(
+        F.round(F.avg(value_col), ndigits).alias("__avg")
+    )
+    bounds = per.groupBy(*keys).agg(
+        F.min("bucket_ts").alias("__t0"), F.max("bucket_ts").alias("__t1")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__t0, __t1, interval {int(bucket_minutes)} minutes)")
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(per, [*keys, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *keys,
+        "bucket_ts",
+        F.last("__avg", ignorenulls=True).over(w).alias("avg_value"),
+        F.col("__avg").isNull().alias("is_gap"),
+    )

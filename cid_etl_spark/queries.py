@@ -2359,3 +2359,229 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("vec_id").cast("bigint").alias("min_kept_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O. Span dedup / sequence packing / time-series resample / UDTF / sketches
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "span_dedup_documents",
+    r"""
+    WITH sp AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(toks[(u.i*10+1):(u.i*10+10)], ' ') AS chunk
+      FROM sp, unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list(chunk ORDER BY pos)
+                                    FILTER (WHERE rn = 1), ' '), '') AS text_dedup,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_spans_dropped
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SPAN dedup (the C4/RefinedWeb repeated-passage
+    rule at chunk granularity): split every document into consecutive
+    10-token spans, keep only the globally FIRST occurrence of each
+    exact span (first = lowest ``(doc_id, pos)``), and reassemble the
+    surviving spans per document.
+
+    One wide stage: the span table shuffles once on the span value
+    (``row_number`` window), and reassembly groups back on ``doc_id``.
+    At 100 TB the span strings should not ride the dedup shuffle —
+    hash them (``xxhash64``) for the window key and rejoin survivors
+    to positions, the same key-shrinking trade as
+    operators.dedup.shingle_index_arrow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(10) + F.lit(1), 10)),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = ex.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("text_dedup"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_spans_dropped"),
+    )
+
+
+@_register(
+    "pack_sequences_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(lower(trim(text)), '\s+'))
+                  ELSE 0 END AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - n_tok) / 512) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc_id
+    FROM c
+    GROUP BY lang, seq_id
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk style: per language,
+    documents concatenate in ``doc_id`` order into one virtual token
+    stream that is cut into 512-token sequences; each document belongs
+    to the sequence containing its first token (``floor(start_offset /
+    512)``).  Output is the per-sequence manifest a data loader reads.
+
+    This is the SQL-expressible form of LLM batch packing: a running
+    ``SUM`` window (one shuffle on ``lang``, single per-partition
+    sort) then a partial-aggregating rollup.  At 100 TB the per-lang
+    order-by becomes a range partition on ``(lang, doc_id)`` — the
+    window never needs all of a language on one executor, only
+    contiguous doc_id ranges with carried-in offsets."""
+    from cid_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select("doc_id", "lang", token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = c.withColumn("cum", F.sum("n_tok").over(w))
+    c = c.withColumn(
+        "seq_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512)).cast("bigint")
+    )
+    return c.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+@_register(
+    "resample_gapfill_events",
+    r"""
+    WITH pm AS (
+      SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
+             round(avg(value), 4) AS avg_v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(bucket_ts) AS t0, max(bucket_ts) AS t1
+      FROM pm GROUP BY 1
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(t0, t1, INTERVAL '15 minutes')) AS bucket_ts
+      FROM bounds
+    ), j AS (
+      SELECT g.event_type, g.bucket_ts, pm.avg_v
+      FROM grid g LEFT JOIN pm USING (event_type, bucket_ts)
+    )
+    SELECT event_type, bucket_ts,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+           (avg_v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (operators.timeseries
+    .resample_ffill): average ``value`` into epoch-aligned 15-minute
+    buckets per event type, densify to a gap-free grid (``sequence``
+    + ``explode`` over one bounds row per key — the fact table is
+    never rescanned), and carry the last observed average across empty
+    buckets with ``last(ignorenulls)`` over an unbounded-preceding row
+    frame.  DuckDB's ``time_bucket``/``generate_series``/``IGNORE
+    NULLS`` walk the identical grid."""
+    from cid_etl_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        ev, "ts", ["event_type"], "value", bucket_minutes=15, ndigits=4
+    )
+
+
+@_register(
+    "flatten_props_udtf",
+    r"""
+    WITH k AS (
+      SELECT event_id, props, unnest(json_keys(props)) AS prop_key FROM events
+    )
+    SELECT event_id, prop_key,
+           json_extract_string(props, '$."' || prop_key || '"') AS prop_value,
+    FROM k
+    """,
+)
+def flatten_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 TABLE-function surface: a native Python UDTF
+    (functions.udtfs.FlattenJsonProps) flattens each event's JSON
+    ``props`` object into ``(prop_key, prop_value)`` rows via LATERAL
+    correlation — the row-expanding shape ``explode()`` can't express
+    when the object's keys are unknown at plan time.  The UDTF runs
+    partition-parallel in the Python worker; no shuffle is introduced.
+    Oracle: DuckDB ``json_keys`` + ``json_extract_string``."""
+    from cid_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "props").createOrReplaceTempView("__props_in")
+    return spark.sql(
+        "SELECT i.event_id, f.prop_key, f.prop_value "
+        "FROM __props_in i, LATERAL flatten_json_props(i.props) f"
+    )
+
+
+@_register("hll_daily_users_events")
+def hll_daily_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB cardinality
+    pattern: build one Apache DataSketches HLL per (event_type, day)
+    with ``hll_sketch_agg`` (map-side partial, tiny state), then
+    ``hll_union_agg`` the daily sketches into a per-type total and
+    ``hll_sketch_estimate`` it.  Stored daily sketches make any date
+    range answerable by merging k tiny binaries instead of rescanning
+    the fact table.  No SQL oracle: DuckDB's HLL implementation (and
+    any other engine's) yields different estimates for the same data —
+    the driver records a rows-only check; tests pin the estimates
+    against exact counts at fixture scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "approx_users"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
