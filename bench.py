@@ -75,6 +75,9 @@ HEADLINE = [
     "resample_gapfill_events",
     "flatten_props_udtf",
     "hll_daily_users_events",
+    "small_quantity_revenue",
+    "value_trend_events",
+    "scd2_priority_history",
 ]
 
 

@@ -2585,3 +2585,130 @@ def hll_daily_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@_register(
+    "small_quantity_revenue",
+    r"""
+    SELECT l.l_partkey AS partkey,
+           CAST(count(*) AS BIGINT) AS n_small,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (each lineitem
+    compared against its part's average quantity).  Written as SQL on
+    purpose — Catalyst's DecorrelateInnerQuery rewrites the correlated
+    aggregate into ONE self-aggregation of lineitem on l_partkey plus
+    an equi-join, so the fact table scans twice and shuffles on the
+    same key both times (AQE can co-locate them); the naive
+    per-row re-scan the SQL literally describes never executes.
+    l_quantity is integral, so both engines' AVG is an exact
+    double (order-insensitive) and the boundary predicate is
+    deterministic."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q17")
+    return spark.sql(
+        """
+        SELECT l.l_partkey AS partkey,
+               CAST(count(*) AS BIGINT) AS n_small,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS small_revenue
+        FROM __li_q17 l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM __li_q17 l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )
+
+
+@_register(
+    "value_trend_events",
+    r"""
+    SELECT event_type,
+           round(regr_slope(value, epoch(ts)), 8) AS slope,
+           round(regr_intercept(value, epoch(ts)), 4) AS intercept,
+           round(regr_r2(value, epoch(ts)), 6) AS r2,
+           CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend via the built-in regression aggregates
+    (regr_slope/intercept/r2/count) — drift detection over a metric
+    stream as one partial-aggregating hash aggregate: each task folds
+    its rows into the five regression moments, one shuffle on the
+    3-byte key merges them.  The x value is the epoch timestamp as
+    DOUBLE (microsecond fraction preserved) to match DuckDB's
+    ``epoch()``; results round well inside double headroom for the
+    cross-engine hash compare."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 8).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.regr_count(F.col("value"), x).cast("bigint").alias("n"),
+    )
+
+
+@_register(
+    "scd2_priority_history",
+    r"""
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p
+      FROM orders
+    ), ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM o WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR)
+             AS valid_to,
+           (lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL)
+             AS is_current
+    FROM ch
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history build (the CDC companion to
+    ``scd_upsert_orders``'s type-1 latest-wins): collapse each
+    customer's order-priority timeline into change rows with
+    ``[valid_from, valid_to)`` validity and an ``is_current`` flag.
+    Two window passes (change detection via ``lag``, interval close
+    via ``lead``) over the SAME partition key sort — Catalyst plans
+    ONE shuffle+sort on ``o_custkey`` and reuses it for both windows.
+    Dates render as strings (driver-compare convention: DuckDB DATE →
+    pandas Timestamp would hash-mismatch Spark's datetime.date)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ch = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .drop("prev_p")
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return ch.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

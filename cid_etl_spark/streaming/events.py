@@ -177,3 +177,55 @@ def purchases_with_recent_click(
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("user_id", "purchase_ts", "click_ts", "value")
+
+
+def stream_upsert_to_parquet(
+    result: DataFrame,
+    target_dir: str,
+    partition_col: str = "day",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """``foreachBatch`` idempotent sink: land a streaming aggregate into
+    a hive-partitioned parquet table with partition-overwrite upserts.
+
+    Each micro-batch dynamically overwrites ONLY the partitions it
+    touches (``partitionOverwriteMode=dynamic``), so replaying a batch
+    after failure rewrites the same partitions with the same content —
+    the classic exactly-once-by-idempotence recipe when the target has
+    no transactional MERGE.  Combined with the checkpoint (which makes
+    the batch sequence deterministic), end-to-end semantics are
+    effectively exactly-once; at 100 TB the unit of rewrite stays one
+    partition, never the table.
+
+    The aggregate streams in ``complete`` mode: partition overwrite is
+    only idempotent when a batch carries EVERY row of each partition it
+    touches — ``update`` mode would drop the partition's unchanged
+    groups.  (With a MERGE-capable target, ``update`` + per-key upsert
+    is the lower-write-amplification variant.)
+
+    The reference's only sink is a single CSV overwrite
+    (etl_cid10.py:196,370) — this is its streaming-era counterpart.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        (
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_dir)
+        )
+
+    writer = (
+        result.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
