@@ -78,6 +78,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "value_trend_events",
     "scd2_priority_history",
+    "dedup_clusters_star",
 ]
 
 

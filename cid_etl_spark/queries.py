@@ -2712,3 +2712,38 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("string").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@_register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, cc.label
+        FROM cc JOIN edges e ON e.a = cc.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM cc
+    GROUP BY node
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as ``dedup_clusters_documents`` but
+    resolved with alternating large-star/small-star contraction
+    (operators.graph.connected_components_star) instead of min-label
+    propagation: O(log² n) rounds regardless of component diameter —
+    the 100 TB path when shingle chains link dups into long paths.
+    Identical recursive-CTE oracle; both must produce the same
+    min-id-per-component labeling."""
+    from cid_etl_spark.operators.graph import connected_components_star
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
