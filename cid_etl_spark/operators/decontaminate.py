@@ -19,16 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cid_etl_spark.operators.dedup import shingles
+from cid_etl_spark.operators.dedup import shingle_index_arrow
 
 
 def gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """``(id, gram_hash)`` — one row per distinct word n-gram of each
-    document, hashed (md5 hex) so downstream joins move 32-byte keys,
-    not raw n-gram text."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
-    ).select(id_col, F.md5("gram").alias("gram_hash"))
+    document, as a 64-bit hash (operators.dedup.shingle_index_arrow:
+    one vectorized Arrow pass, no interpreted array HOFs, no md5
+    strings) so downstream joins move 8-byte keys, not n-gram text."""
+    ix = shingle_index_arrow(df, id_col, text_col, n)
+    return ix.select(F.col("__id").alias(id_col), F.col("__g").alias("gram_hash"))
 
 
 def contamination_report(

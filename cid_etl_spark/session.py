@@ -37,10 +37,13 @@ DEFAULT_CONF: dict[str, str] = {
     # timestamps in fixtures are timezone-naive; keep session TZ fixed so
     # date_trunc/window results are reproducible anywhere
     "spark.sql.session.timeZone": "UTC",
-    # long-lived sessions run many heavy queries back-to-back; reclaim
-    # shuffle/broadcast state promptly instead of letting GC debt land
-    # on whatever query runs next (default is 30min)
-    "spark.cleaner.periodicGC.interval": "1min",
+    # ContextCleaner's periodic FORCED full GC stays at the 30min
+    # default: a short interval (tried: 1min) fires stop-the-world
+    # collections in the middle of whatever query is running — measured
+    # as random 3-15s spikes on individual bench queries.  Steady-state
+    # hygiene belongs BETWEEN queries (bench.py clears the SQL cache and
+    # triggers an explicit System.gc outside every timed window).
+    "spark.cleaner.periodicGC.interval": "30min",
 }
 
 
