@@ -2037,30 +2037,56 @@ def repetition_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most frequent word bigram over all bigrams).  The reference has no
     corpus ops (/root/reference/etl_cid10.py is a CSV ETL); this is the
     standard repetition gate from the Gopher/MassiveText cleaning
-    recipe.  Scale shape: non-distinct bigrams explode once, then two
-    partial-agg shuffles keyed by doc_id — no self-joins, no windows,
-    work linear in corpus token count."""
+    recipe.  Scale shape: per-document metrics are embarrassingly
+    parallel, so the WHOLE computation is one vectorized Arrow pass
+    (``mapInPandas``) with NO shuffle at all — the earlier explode +
+    two-stage groupBy formulation shuffled one row per bigram for no
+    cross-document reason.  The Arrow pass emits exact integer counts;
+    the ratios divide and round JVM-side so rounding semantics match
+    the DuckDB oracle bit-for-bit."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
-    base = toks.select(
+    prepped = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("__t"))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s — matches tokens()
+
+    def counts(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_tok": [], "n_distinct": [],
+                   "top_c": [], "total_bigrams": []}
+            for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
+                toks = ws.split(t) if isinstance(t, str) and t else []
+                if len(toks) < 2:
+                    continue  # parity with the size(t) >= 2 gate
+                arr = np.asarray(toks, dtype=object)
+                grams = pd.util.hash_array(arr[:-1]) * np.uint64(
+                    1000003
+                ) + pd.util.hash_array(arr[1:])
+                _, c = np.unique(grams, return_counts=True)
+                out["doc_id"].append(doc_id)
+                out["n_tok"].append(len(toks))
+                out["n_distinct"].append(len(np.unique(arr)))
+                out["top_c"].append(int(c.max()))
+                out["total_bigrams"].append(len(grams))
+            yield pd.DataFrame(out)
+
+    g = prepped.mapInPandas(
+        counts,
+        schema="doc_id long, n_tok long, n_distinct long, "
+        "top_c long, total_bigrams long",
+    )
+    return g.select(
         "doc_id",
-        F.round(
-            F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
-        ).alias("distinct_ratio"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(2))),
-            )
-        ).alias("gram"),
-    )
-    g1 = base.groupBy("doc_id", "distinct_ratio", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    g2 = g1.groupBy("doc_id", "distinct_ratio").agg(
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac")
-    )
-    return g2.select(
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tok"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_c").cast("double") / F.col("total_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    ).select(
         "doc_id",
         "distinct_ratio",
         "top_bigram_frac",
