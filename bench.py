@@ -79,6 +79,7 @@ HEADLINE = [
     "value_trend_events",
     "scd2_priority_history",
     "dedup_clusters_star",
+    "variant_props_stats",
 ]
 
 

@@ -2773,3 +2773,35 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components_star(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@_register(
+    "variant_props_stats",
+    r"""
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` ingests
+    each event's props into the binary VARIANT encoding once, then
+    typed reads (``try_variant_get``) feed a plain aggregate.  VARIANT
+    is the at-scale answer for schema-on-read JSON columns: parse cost
+    is paid once at ingest (in practice at the parquet sink), reads are
+    binary field lookups instead of per-query string re-parsing
+    (``get_json_object``), and malformed documents degrade to NULL via
+    the ``try_`` form instead of failing the job."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return v.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
