@@ -80,6 +80,8 @@ HEADLINE = [
     "scd2_priority_history",
     "dedup_clusters_star",
     "variant_props_stats",
+    "window_sliding_events",
+    "unpivot_order_metrics",
 ]
 
 

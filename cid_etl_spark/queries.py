@@ -2805,3 +2805,75 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").cast("bigint").alias("n_with_k"),
         F.round(F.avg("k"), 6).alias("avg_k"),
     )
+
+
+@_register(
+    "window_sliding_events",
+    r"""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS win_start
+      FROM events
+    )
+    SELECT event_type, win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM starts GROUP BY event_type, win_start
+    """,
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2h length, 1h hop): each event lands
+    in exactly two overlapping windows; ``F.window`` replicates rows
+    window-side BEFORE the aggregate, so partial aggregation still
+    combines map-side and the shuffle carries (type, win) partials —
+    overlap factor × agg state, never overlap × raw events.  The
+    oracle enumerates the same two epoch-aligned starts per event.
+    The streaming twin is the same expression under ``readStream`` +
+    watermark (streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "2 hours", "1 hour")
+    return ev.groupBy("event_type", w.start.alias("win_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@_register(
+    "unpivot_order_metrics",
+    r"""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    UNPIVOT agg ON total_price, n_orders, avg_price
+    INTO NAME metric VALUE value
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of ``pivot_status_by_priority``:
+    a wide per-priority metrics row melts into ``(priority, metric,
+    value)`` tall form (the shape metric stores and chart layers eat).
+    ``DataFrame.unpivot`` is a zero-shuffle narrow op — each wide row
+    expands in place; the only shuffle here is the upstream aggregate.
+    Decimal-exact money sum, then one final round, per the money
+    conventions (operators.aggregates)."""
+    from cid_etl_spark.operators.aggregates import decimal_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(decimal_sum(F.col("o_totalprice")), 2).alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "n_orders", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
