@@ -78,19 +78,32 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    """Fraction of whitespace tokens that are known stopwords."""
-    toks = tokens(text)
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    hits = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
-    n = F.size(toks)
+    """Fraction of whitespace tokens that are known stopwords.
+
+    Counted with ONE codegen'd ``regexp_count`` over the whole text —
+    a token matches iff a stopword appears delimited by start/end or
+    whitespace (lookahead keeps the trailing delimiter unconsumed so
+    adjacent stopwords both count).  The array formulation
+    (``F.filter`` lambda per token) evaluates interpreted per element
+    and was the hottest expression in quality scoring."""
+    t = F.lower(F.trim(_c(text)))
+    pattern = r"(^|\s)(" + "|".join(sorted(STOPWORDS)) + r")(?=\s|$)"
+    hits = F.regexp_count(t, F.lit(pattern))
+    n = F.size(tokens(text))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
 def mean_token_length(text: Column | str) -> Column:
-    """Mean token length — proxy for gibberish / boilerplate detection."""
-    toks = tokens(text)
-    n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    """Mean token length — proxy for gibberish / boilerplate detection.
+
+    Identity used: tokens are the text minus its whitespace, so
+    ``sum(length(token)) == length(regexp_replace(t, '\\s', ''))`` —
+    one codegen'd regex instead of an interpreted array-fold
+    (``F.aggregate`` lambdas evaluate per element outside codegen;
+    this was the hottest expression in the token-stats sweep)."""
+    t = F.lower(F.trim(_c(text)))
+    n = F.size(tokens(text))
+    total = F.length(F.regexp_replace(t, r"\s", ""))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 

@@ -1595,17 +1595,25 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     filtered = d.filter((F.length(t) > 20) & (F.length(F.trim(t)) > 0))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    scored = deduped.select(
+    # Score BEFORE the dedup shuffle: the regex-heavy expressions run
+    # map-side at full scan parallelism (post-shuffle, AQE coalesces
+    # this small a dataset to ~1 partition — measured 2× on the whole
+    # pipeline), and the window then shuffles ~60-byte score rows
+    # instead of full document text.  Trade-off: dup rows are scored
+    # too — at high dup rates invert the order.
+    scored_all = filtered.select(
+        "doc_id",
+        F.md5("text").alias("__md5"),
         lang_id("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
         token_count("text").alias("n_tokens"),
-    ).filter(F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("__md5").orderBy("doc_id")
+    scored = (
+        scored_all.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("quality") >= 0.5)
+    )
     return scored.groupBy("lang_guess").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
