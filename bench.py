@@ -82,6 +82,7 @@ HEADLINE = [
     "variant_props_stats",
     "window_sliding_events",
     "unpivot_order_metrics",
+    "embedding_outliers_by_label",
 ]
 
 

@@ -108,3 +108,26 @@ def salted_agg(
                 "use a sum_/cnt_/n_/min_/max_ prefix"
             )
     return partial.groupBy(*keys).agg(*merges)
+
+
+def observed_quality(df: DataFrame, name: str, *null_cols: str):
+    """A1/A2 quality counters via ``DataFrame.observe`` — the
+    zero-extra-pass form of :func:`quality_counts`: metrics accumulate
+    AS the main action runs instead of costing a second scan (the
+    reference recomputes its counts with dedicated passes,
+    etl_cid10.py:190-193,365-368; at 100 TB a metrics-only rescan is
+    real money).  Returns the observed DataFrame; read the metrics
+    from ``Observation.get`` after the action, or via a
+    ``QueryExecutionListener`` in production.
+    """
+    from pyspark.sql import Observation
+
+    missing_pred = None
+    for c in null_cols:
+        p = F.col(c).isNull()
+        missing_pred = p if missing_pred is None else (missing_pred | p)
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("total")]
+    if missing_pred is not None:
+        metrics.append(count_if(missing_pred).alias("missing"))
+    return df.observe(obs, *metrics), obs

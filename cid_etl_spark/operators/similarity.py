@@ -434,3 +434,51 @@ def semantic_dedup_exact(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def label_centroid_outliers(
+    df, vec_col: str = "embedding", label_col: str = "label", id_col: str = "vec_id"
+):
+    """Per-group centroid + outlier sweep as a grouped-map Pandas UDF
+    (``groupBy().applyInPandas``) — SURVEY §2.9's batch grouped-map
+    surface: each label's vectors arrive as ONE Arrow batch, numpy
+    computes the centroid and every member's euclidean distance to it
+    vectorized, and one summary row leaves per group.
+
+    This is the curation outlier report: a label whose max distance
+    dwarfs its average marks mislabeled/poisoned vectors.  Scale shape:
+    one shuffle on the label, state = one group in memory at a time —
+    a label too large for one executor should be pre-aggregated with
+    a (sum, count) combine per partition instead (the classic two-phase
+    mean), noted as the 100 TB escape.
+
+    Rounding uses floor(x·10⁴+0.5) (HALF-UP on positive values) to
+    match Spark/DuckDB ``round`` — numpy's own ``round`` is
+    half-to-EVEN and would diverge on exact .00005 boundaries.
+    Ties on the rounded max distance resolve to the smallest id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        rd = np.floor(d * 1e4 + 0.5) / 1e4
+        top = ids[rd == rd.max()].min()
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "n": [len(ids)],
+                "avg_dist": [float(np.floor(d.mean() * 1e4 + 0.5) / 1e4)],
+                "max_dist": [float(rd.max())],
+                "top_outlier": [int(top)],
+            }
+        )
+
+    out_schema = (
+        f"{label_col} int, n bigint, avg_dist double, max_dist double, "
+        "top_outlier bigint"
+    )
+    return df.groupBy(label_col).applyInPandas(summarize, schema=out_schema)

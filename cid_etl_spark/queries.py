@@ -2885,3 +2885,44 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@_register(
+    "embedding_outliers_by_label",
+    r"""
+    WITH flat AS (
+      SELECT label, vec_id, CAST(u.i AS INT) AS i, embedding[u.i] AS x
+      FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, i, avg(x) AS c FROM flat GROUP BY label, i
+    ),
+    dist AS (
+      SELECT f.label, f.vec_id, round(sqrt(sum((f.x - c.c)^2)), 4) AS rd,
+             sqrt(sum((f.x - c.c)^2)) AS d
+      FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i
+      GROUP BY f.label, f.vec_id
+    ),
+    mx AS (
+      SELECT label, max(rd) AS max_rd FROM dist GROUP BY label
+    )
+    SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(d.d), 4) AS avg_dist,
+           any_value(mx.max_rd) AS max_dist,
+           CAST(min(d.vec_id) FILTER (WHERE d.rd = mx.max_rd) AS BIGINT)
+             AS top_outlier
+    FROM dist d JOIN mx USING (label)
+    GROUP BY d.label
+    """,
+)
+def embedding_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outlier report via grouped-map
+    ``applyInPandas`` (operators.similarity.label_centroid_outliers):
+    one Arrow batch per label, vectorized centroid + distances, one
+    summary row out.  The oracle walks the same math element-wise with
+    the unnest-by-position idiom."""
+    from cid_etl_spark.operators.similarity import label_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, "embedding", "label", "vec_id")

@@ -116,3 +116,35 @@ def write_table_bucketed(
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into files
+    of ~*target_file_bytes* each and return the file count written.
+
+    The small-files problem is the silent killer of 100 TB tables —
+    every file costs a task, an open, a footer read; a streaming sink
+    or over-parallel write that leaves 10⁶ tiny files makes scans
+    scheduler-bound.  Sizing uses the actual on-disk byte size of the
+    source (driver-side listing — no data pass), then ONE
+    ``repartition(n)`` round-robin shuffle so output files are even.
+    Run it per partition directory in production so compaction
+    parallelizes across partitions and stays restartable.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet") or f.startswith("part-"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files

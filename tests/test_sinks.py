@@ -83,3 +83,32 @@ def test_bucketed_tables_join_without_exchange(spark):
     ).count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from cid_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(10_000).selectExpr("id", "repeat('x', 100) AS pad").repartition(
+        40
+    ).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(dst + "/part-*")
+    assert len(files) == n == 1
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_observed_quality_counts_without_extra_pass(spark):
+    from cid_etl_spark.operators.aggregates import observed_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, v string"
+    )
+    observed, obs = observed_quality(df, "qc", "v")
+    assert observed.count() == 4  # the action that populates the metrics
+    assert obs.get == {"total": 4, "missing": 2}
