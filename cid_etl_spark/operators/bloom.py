@@ -105,15 +105,14 @@ def build_bloom(
             pos = np.unique(_positions(vals, m, k))
             yield pd.DataFrame({"pos": pos.astype("int64")})
 
-    pos_rows = (
-        keys.select(key_col)
-        .mapInPandas(emit, "pos long")
-        .distinct()
-        .collect()
-    )
+    # no distinct() before collect: per-partition np.unique already
+    # deduped within tasks, and a driver-side unique over ≤ n_keys·k
+    # ints beats paying a whole shuffle stage for it.  (At 10⁹ keys,
+    # swap the collect for a treeAggregate of partition bitmaps.)
+    pos_rows = keys.select(key_col).mapInPandas(emit, "pos long").collect()
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     if pos_rows:
-        pos = np.array([r["pos"] for r in pos_rows], dtype=np.uint64)
+        pos = np.unique(np.array([r["pos"] for r in pos_rows], dtype=np.uint64))
         np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
                          np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
     return BloomFilter(bits=bitmap.tobytes(), m=m, k=k)
@@ -143,6 +142,9 @@ def bloom_semi_join(
     """Exact semi join with a Bloom pre-filter on the fact side: the
     bloom drops ~(1-selectivity) of fact rows map-side, the exact
     ``left_semi`` join then removes false positives."""
+    # the keys plan is consumed three times (sizing count, position
+    # emit, exact join) — materialize it once
+    keys = keys.select(key_col).persist()
     bloom = build_bloom(keys, key_col, fpp=fpp)
     pre = bloom_prefilter(fact, fact_col, bloom)
     return pre.join(
