@@ -83,6 +83,8 @@ HEADLINE = [
     "window_sliding_events",
     "unpivot_order_metrics",
     "embedding_outliers_by_label",
+    "holdout_split_documents",
+    "length_buckets_documents",
 ]
 
 

@@ -2926,3 +2926,91 @@ def embedding_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_outliers(emb, "embedding", "label", "vec_id")
+
+
+@_register(
+    "holdout_split_documents",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CASE
+               WHEN md5(CAST(doc_id AS VARCHAR)) < '1999999999999999999999999999999999'
+                 THEN 'val'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < '3333333333333333333333333333333333'
+                 THEN 'test'
+               ELSE 'train'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY lang, split
+    """,
+)
+def holdout_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout assignment: the split is a
+    pure function of ``md5(doc_id)`` — stable under reruns, re-shards,
+    and corpus growth (a document never migrates between splits), with
+    no shuffle to assign (the only shuffle is the reporting rollup).
+    Hex-threshold bucketing ≈ 10%/10%/80%; the same idiom as
+    ``stratified_sample_documents`` and ``corpus_mixture_sample``, here
+    producing named splits for eval hygiene."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < "1999999999999999999999999999999999", "val")
+        .when(h < "3333333333333333333333333333333333", "test")
+        .otherwise("train")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@_register(
+    "length_buckets_documents",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(lower(trim(text)), '\s+'))
+                  ELSE 0 END AS n_tok
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN n_tok <= 0 THEN 0
+                ELSE CAST(floor(log2(n_tok)) AS BIGINT) + 1 END AS BIGINT)
+             AS bucket,
+           CAST(power(2, CASE WHEN n_tok <= 0 THEN 0
+                ELSE CAST(floor(log2(n_tok)) AS BIGINT) END) AS BIGINT)
+             AS bucket_min_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the batching planner's
+    input: padding waste in a batch is bounded by the bucket ratio, so
+    loaders group documents by ⌊log₂(tokens)⌋.  Pure map-side
+    expression + one tiny rollup.  Integer-valued log₂ boundaries
+    (exact powers of two) land identically in both engines because
+    ``n_tok`` is integral and ``log2`` is exact on powers of two."""
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    b = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("bigint") + 1
+    )
+    bmin = F.pow(
+        F.lit(2.0),
+        F.when(n <= 0, F.lit(0)).otherwise(
+            F.floor(F.log2(n.cast("double"))).cast("bigint")
+        ).cast("double"),
+    ).cast("bigint")
+    return (
+        d.select(b.alias("bucket"), bmin.alias("bucket_min_tokens"), n.alias("n_tok"))
+        .groupBy("bucket", "bucket_min_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
