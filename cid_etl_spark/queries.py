@@ -3014,3 +3014,24 @@ def length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@_register("approx_percentile_lineitem")
+def approx_percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles (``percentile_approx``,
+    Greenwald-Khanna sketch): the mergeable-sketch companion to the
+    exact ``percentile_stats_lineitem`` — partials combine map-side in
+    O(1/accuracy) space, so the shuffle carries sketches, not values,
+    and the same sketches can be stored per partition/day and merged
+    at query time (the HLL pattern, for quantiles).  No SQL oracle:
+    DuckDB's approx_quantile is a different sketch with different
+    estimates; tests pin each estimate against the exact percentile
+    rank at fixture scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99_approx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -229,3 +229,38 @@ def stream_upsert_to_parquet(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     writer.start().awaitTermination()
+
+
+def sliding_event_counts(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """SLIDING windows on the stream (2h length, 1h hop): identical
+    expression to the batch twin (queries.window_sliding_events), so a
+    row lands in exactly two windows; the watermark closes a window
+    once event time passes its end + slack, bounding state to
+    (overlap factor × open windows × keys) aggregates."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+def enriched_purchases(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-STATIC join: enrich streaming purchases with a batch
+    dimension (per-user lifetime tier).  The static side is planned
+    per micro-batch — broadcast when small, so the stream is never
+    shuffled; no watermark is required because a static side holds no
+    state (contrast purchases_with_recent_click)."""
+    return (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(user_dim), "user_id", "left")
+        .select(
+            "event_id", "user_id", "ts", "value",
+            F.coalesce("tier", F.lit("unknown")).alias("tier"),
+        )
+    )

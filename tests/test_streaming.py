@@ -178,3 +178,48 @@ def test_stream_stream_join_matches_batch(spark, event_stream_dir):
     want = {(r["user_id"], r["purchase_ts"], r["click_ts"]) for r in batch}
     assert got == want
     assert want  # fixture actually produces joined rows
+
+
+def test_sliding_counts_match_batch(spark, event_stream_dir):
+    from cid_etl_spark.streaming.events import sliding_event_counts
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(sliding_event_counts(stream), "sliding_s")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in spark.table("sliding_s").collect()
+    }
+    batch = (
+        _batch_events(spark, event_stream_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("a"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "a")
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["a"]) for r in batch}
+    assert got == want
+
+
+def test_stream_static_join_enriches_purchases(spark, event_stream_dir):
+    from cid_etl_spark.streaming.events import enriched_purchases
+
+    batch = _batch_events(spark, event_stream_dir)
+    user_dim = (
+        batch.groupBy("user_id")
+        .agg(F.sum("value").alias("lifetime"))
+        .select(
+            "user_id",
+            F.when(F.col("lifetime") > 1000, "gold").otherwise("basic").alias("tier"),
+        )
+    )
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        enriched_purchases(stream, user_dim), "enriched_s", mode="append"
+    )
+    got = spark.table("enriched_s")
+    n_purchases = batch.filter(F.col("event_type") == "purchase").count()
+    assert got.count() == n_purchases
+    assert got.filter(F.col("tier").isin("gold", "basic")).count() == n_purchases

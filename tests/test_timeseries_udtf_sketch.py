@@ -135,3 +135,29 @@ def test_hll_estimates_match_exact_at_fixture_scale(spark):
         # cardinality; assert a loose 5% envelope so the test pins
         # correctness, not the sketch's exact bit pattern
         assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_approx_percentiles_bracket_exact_rank(spark):
+    from cid_etl_spark.queries import spark_queries
+    from cid_etl_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p90_approx, r.p99_approx)
+        for r in spark_queries()["approx_percentile_lineitem"](spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, (a50, a90, a99) in approx.items():
+        e50, e90, e99 = exact[flag]
+        for a, e in [(a50, e50), (a90, e90), (a99, e99)]:
+            assert abs(a - e) / e < 0.02  # GK at acc=1e4 is far tighter
