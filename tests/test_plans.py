@@ -91,3 +91,35 @@ def test_stratified_sample_single_shuffle(spark):
     # repartition); no join, no extra aggregation exchanges
     assert "Window" in plan, plan
     assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    # per-doc metrics via one Arrow pass: no Exchange beyond the
+    # fixture-spread repartition, no aggregation at all
+    plan = _plan(spark, "repetition_filter_documents")
+    assert "HashAggregate" not in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_curation_pipeline_scores_before_dedup_shuffle(spark):
+    # scoring runs BELOW the window exchange (scan parallelism): the
+    # dedup shuffle partitions on the precomputed __md5 of the scored
+    # projection, not on raw text
+    plan = _plan(spark, "corpus_curation_pipeline")
+    assert "Window" in plan, plan
+    assert "hashpartitioning(__md5" in plan, plan
+    assert "hashpartitioning(md5(text" not in plan, plan
+
+
+def test_unpivot_adds_no_exchange(spark):
+    # melt is narrow: exactly the aggregate's exchange(s), none for
+    # the unpivot itself (Expand/Generate node, no added Exchange)
+    plan = _plan(spark, "unpivot_order_metrics")
+    assert "Expand" in plan or "Generate" in plan, plan
+
+
+def test_sliding_window_partial_aggregation(spark):
+    # window replication happens BEFORE partial aggregation: the
+    # exchange carries (type, window) partial states
+    plan = _plan(spark, "window_sliding_events")
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
