@@ -85,6 +85,14 @@ HEADLINE = [
     "embedding_outliers_by_label",
     "holdout_split_documents",
     "length_buckets_documents",
+    "exists_late_orders",
+    "loyal_customers_by_nation",
+    "heavy_hitters_parts",
+    "window_distribution_suite",
+    "listagg_nations",
+    "activity_streaks_events",
+    "zscore_outliers_events",
+    "corpus_composition_report",
 ]
 
 

@@ -1235,7 +1235,10 @@ def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "prior_event_id",
         "prior_value",
-        (F.col("ts").cast("long") - F.col("prior_ts").cast("long")).alias("gap_sec"),
+        (
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            - F.col("prior_ts").cast("timestamp_ltz").cast("long")
+        ).alias("gap_sec"),
     )
 
 
@@ -2685,7 +2688,9 @@ def value_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``epoch()``; results round well inside double headroom for the
     cross-engine hash compare."""
     ev = load_table(spark, sf_dir, "events")
-    x = F.col("ts").cast("double")
+    # TIMESTAMP_NTZ has no direct numeric cast in Spark 4; route through
+    # timestamp_ltz (session TZ pinned to UTC) so epoch matches DuckDB.
+    x = F.col("ts").cast("timestamp_ltz").cast("double")
     return ev.groupBy("event_type").agg(
         F.round(F.regr_slope(F.col("value"), x), 8).alias("slope"),
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
@@ -3034,4 +3039,308 @@ def approx_percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90_approx"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99_approx"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R. Decorrelated subqueries, distribution windows, heavy hitters, islands
+#    (round-1 widening: classic warehouse shapes any engine replacing the
+#    reference must run; each stays one-or-two-shuffle at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exists_late_orders",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS decorrelated to a LEFT SEMI
+    join on the order key with the ship-after-order predicate folded
+    into the join condition.  One shuffle on l_orderkey/o_orderkey
+    (both sides partial-aggregate nothing — semi join short-circuits on
+    first match per key), then a map-side partial count on the 5-value
+    priority key.  At 100 TB the semi join is the only wide edge and
+    AQE can pick broadcast if the filtered orders side shrinks."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@_register(
+    "loyal_customers_by_nation",
+    """
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def loyal_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS over the same fact (TPC-H Q21 family):
+    LEFT SEMI then LEFT ANTI on o_custkey.  Both probes reuse the same
+    orders scan; the nation dim rides in as a broadcast at the end so
+    the wide edges stay keyed on the customer.  The anti side prunes to
+    only 'F' rows before the join — at scale that filter reaches the
+    parquet scan and the anti build is a fraction of the fact."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    any_order = o.select("o_custkey")
+    f_order = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    kept = (
+        c.join(any_order, c.c_custkey == any_order.o_custkey, "left_semi")
+        .join(f_order, c.c_custkey == f_order.o_custkey, "left_anti")
+    )
+    return (
+        kept.join(F.broadcast(n), kept.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+@_register(
+    "heavy_hitters_parts",
+    """
+    WITH counts AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_partkey
+    ), thr AS (
+        SELECT avg(n_lines) + 2 * stddev_samp(n_lines) AS cut FROM counts
+    )
+    SELECT c.l_partkey, c.n_lines
+    FROM counts c, thr t
+    WHERE c.n_lines > t.cut
+    """,
+)
+def heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (keys > mean + 2 sigma of per-key frequency):
+    the skew-detection primer for salting decisions.  Stage 1 is a
+    map-side partial count per l_partkey (one shuffle, key-sized);
+    stage 2 folds the per-key counts to a single (mean, stddev) row
+    that broadcasts back over the counts as a nested-loop filter —
+    no second wide shuffle, the threshold is one row.  The same plan
+    at 100 TB emits the salting candidate list for salted_agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    thr = counts.agg(
+        (F.avg("n_lines") + 2 * F.stddev_samp("n_lines")).alias("cut")
+    )
+    return (
+        counts.join(F.broadcast(thr))
+        .filter(F.col("n_lines") > F.col("cut"))
+        .select("l_partkey", "n_lines")
+    )
+
+
+@_register(
+    "window_distribution_suite",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM c
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal, c_custkey)
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family (percent_rank / cume_dist / ntile)
+    sharing ONE window spec: a single hash shuffle on the segment key
+    plus one per-partition sort serves all three functions.  Ordering
+    is made total (rounded balance, then unique custkey) so ntile's
+    bucket boundaries are deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@_register(
+    "listagg_nations",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed engine, so determinism comes from array_sort before
+    array_join — never from input order.  Dim-sized here; the same
+    sort-inside-the-group pattern is what keeps LISTAGG stable when
+    the group spans many upstream partitions at scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
+
+
+@_register(
+    "activity_streaks_events",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), seq AS (
+        SELECT user_id, d,
+               CAST(d - DATE '1970-01-01' AS BIGINT)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ), islands AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM islands
+    GROUP BY user_id
+    """,
+)
+def activity_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (consecutive-active-day streaks per user) via
+    the day-index-minus-row-number trick.  After the distinct's shuffle
+    lands rows by (user_id, d), the row_number window re-clusters on
+    user_id, and BOTH downstream groupBys — (user_id, grp) and
+    (user_id) — are satisfied by that same hash partitioning, so the
+    whole island pipeline runs with no further exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )
+
+
+@_register(
+    "zscore_outliers_events",
+    """
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score outlier census: pass 1 folds each group to
+    (mu, sigma) — group-count rows, broadcast back; pass 2 re-scans and
+    counts |z| > 2 per group map-side.  The broadcast join keeps the
+    second pass shuffle-free on the fact; only the tiny final rollup
+    moves.  This is the distributed form of 'normalize then filter' —
+    never a window over the whole fact, which would sort 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    is_out = F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 2
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )
+
+
+@_register(
+    "corpus_composition_report",
+    r"""
+    WITH t AS (
+        SELECT source, lang,
+               CASE WHEN length(trim(text)) > 0
+                    THEN len(string_split_regex(lower(trim(text)), '\s+'))
+                    ELSE 0 END AS n_tok
+        FROM documents
+    ), g AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / sum(n_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report (source x lang token shares) — the input
+    to mixture-weight planning (corpus_mixture_sample).  Token counting
+    is map-side; one shuffle to the (source, lang) rollup; the global
+    total is an empty-frame window over the GROUP-COUNT-sized result,
+    not over the fact — at 100 TB the window sees hundreds of rows."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("source", "lang", token_count("text").alias("n_tok")).groupBy(
+        "source", "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
     )
