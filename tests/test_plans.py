@@ -123,3 +123,47 @@ def test_sliding_window_partial_aggregation(spark):
     # exchange carries (type, window) partial states
     plan = _plan(spark, "window_sliding_events")
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
+
+
+def test_exists_decorrelation_single_shuffle_no_cartesian(spark):
+    # EXISTS folds to one semi join + one partial-agg shuffle
+    plan = _plan(spark, "exists_late_orders")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_semi_anti_pair_no_extra_exchanges(spark):
+    plan = _plan(spark, "loyal_customers_by_nation")
+    assert "CartesianProduct" not in plan, plan
+    # semi + anti + nation dim all broadcast at fixture scale
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_heavy_hitters_threshold_is_broadcast_not_shuffle(spark):
+    # the 1-row (mean, stddev) threshold must ride a broadcast join;
+    # a second wide exchange would mean the counts were re-shuffled
+    plan = _plan(spark, "heavy_hitters_parts")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_activity_streaks_reuses_user_partitioning(spark):
+    # distinct shuffles on (user_id, d); the window re-clusters on
+    # user_id; both groupBys then reuse that partitioning: exactly 2
+    plan = _plan(spark, "activity_streaks_events")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_zscore_second_pass_is_broadcast(spark):
+    plan = _plan(spark, "zscore_outliers_events")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_composition_window_after_rollup(spark):
+    # the global-total window runs over the rollup output (single
+    # partition of group-count rows), never over the document fact
+    plan = _plan(spark, "corpus_composition_report")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
