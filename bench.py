@@ -93,6 +93,10 @@ HEADLINE = [
     "activity_streaks_events",
     "zscore_outliers_events",
     "corpus_composition_report",
+    "bucketed_range_join_quantity",
+    "domain_quota_sample",
+    "chunk_documents_sliding",
+    "normalize_text_suite",
 ]
 
 

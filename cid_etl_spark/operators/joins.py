@@ -73,6 +73,54 @@ def range_join(
     )
 
 
+def range_join_bucketed(
+    facts: DataFrame,
+    value: str,
+    intervals: DataFrame,
+    lo: str,
+    hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Scalable interval-membership join: ``lo <= value <= hi`` as an
+    EQUI join on a derived bucket key plus a residual range filter.
+
+    :func:`range_join` broadcasts the interval table and lets Catalyst
+    plan a BroadcastNestedLoopJoin — right for dim-sized intervals
+    (etl_cid10.py:266-325 has ~275 blocks), but a nested loop over two
+    big inputs is O(N*M) and a non-broadcastable interval table leaves
+    Spark only a cartesian plan.  Bucketing restores a shuffle-hash
+    path: each interval row is replicated to every width-*bucket_width*
+    bucket it overlaps (``sequence(floor(lo/w), floor(hi/w))`` +
+    explode), each fact row computes its single bucket, and the join
+    becomes ``fact.bucket == interval.bucket AND value BETWEEN lo AND
+    hi``.  A fact's bucket is unique, so a qualifying (fact, interval)
+    pair meets in exactly one bucket — no dedup pass needed.  Pick
+    *bucket_width* near the median interval width: replication factor
+    is ``1 + width/bucket_width`` while bucket selectivity stays high.
+    Both sides shuffle by bucket (or the interval side broadcasts if it
+    fits) — either way, never a nested loop.
+    """
+    w = float(bucket_width)
+    b_fact = F.floor(F.col(value) / w).alias("__bucket")
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor(F.col(hi) / w).cast("long"),
+            )
+        ),
+    )
+    pred = (
+        (F.col("__fb") == F.col("__bucket"))
+        & (F.col(value) >= F.col(lo))
+        & (F.col(value) <= F.col(hi))
+    )
+    out = facts.withColumn("__fb", b_fact).join(iv, pred, how)
+    return out.drop("__fb", "__bucket")
+
+
 def coalesce_columns(df: DataFrame, target: str, preferred: str, fallback: str) -> DataFrame:
     """J8 — two-source column preference: ``target = coalesce(preferred,
     fallback)``, dropping the inputs (replaces pandas suffix+fillna,

@@ -3344,3 +3344,160 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
         ).alias("token_share"),
     )
+
+
+@_register(
+    "bucketed_range_join_quantity",
+    """
+    WITH bands AS (
+        SELECT CAST(k AS BIGINT) AS band_id,
+               CAST(k * 5 + 1 AS DOUBLE) AS lo,
+               CAST(k * 5 + 5 AS DOUBLE) AS hi
+        FROM range(0, 10) t(k)
+    )
+    SELECT b.band_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY b.band_id
+    """,
+)
+def bucketed_range_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join on the FACT side via bucketing
+    (operators.joins.range_join_bucketed): quantity bands become an
+    equi join on floor(value/width) + a residual BETWEEN — a
+    BroadcastHashJoin here, a shuffle-hash join when the interval table
+    outgrows broadcast.  The contrast case to range_join_acctbal_bands'
+    BroadcastNestedLoopJoin: this shape survives a big-big interval
+    join at 100 TB where a nested loop cannot.  Bucket width 8 is
+    deliberately misaligned with the width-5 bands to exercise
+    interval replication across bucket boundaries."""
+    from cid_etl_spark.operators.joins import range_join_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("bigint").alias("band_id"),
+        (F.col("id") * 5 + 1).cast("double").alias("lo"),
+        (F.col("id") * 5 + 5).cast("double").alias("hi"),
+    )
+    joined = range_join_bucketed(li, "l_quantity", bands, "lo", "hi", bucket_width=8.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        money(decimal_sum("l_extendedprice")).alias("revenue"),
+    )
+
+
+@_register(
+    "domain_quota_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (keep at most K docs per source) — the
+    anti-domination guard in corpus curation: without it one crawl
+    domain can own the training mix.  Deterministic across engines and
+    runs because the rank orders by a content-independent hash of the
+    stable key, never by input order.  One hash shuffle on source."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@_register(
+    "chunk_documents_sliding",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) > 0
+                    THEN string_split_regex(lower(trim(text)), '\s+')
+                    ELSE CAST([] AS VARCHAR[]) END AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, 24)) AS chunk_start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS INT) AS chunk_start,
+           array_to_string(toks[chunk_start : chunk_start + 31], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - chunk_start + 1) AS INT) AS n_tok
+    FROM s
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24 —
+    8-token overlap): the context-window shaping step before training
+    or embedding.  Pure narrow plan: tokenize, generate start offsets
+    with ``sequence``, explode, slice — no shuffle at all; at 100 TB
+    every task chunks its own partition and the 4/3 row inflation
+    streams straight to the sink."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(0)), F.lit(24))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    s = t.select("doc_id", "toks", F.explode(starts).alias("chunk_start"))
+    return s.select(
+        "doc_id",
+        F.col("chunk_start").cast("int"),
+        F.array_join(F.slice("toks", F.col("chunk_start"), 32), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(32), F.size("toks") - F.col("chunk_start") + 1)
+        .cast("int")
+        .alias("n_tok"),
+    )
+
+
+@_register(
+    "normalize_text_suite",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text,
+               text AS orig
+        FROM documents
+    )
+    SELECT doc_id,
+           clean_text,
+           CAST(length(orig) - length(clean_text) AS BIGINT) AS n_removed,
+           CASE WHEN clean_text <> orig THEN true ELSE false END AS changed
+    FROM c
+    """,
+)
+def normalize_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning pass (strip control characters, collapse runs of
+    whitespace, trim) — the first stage of every web-corpus pipeline.
+    All codegen string expressions, zero shuffle, and the cleaned
+    column feeds dedup/fingerprinting downstream so the SAME bytes hash
+    identically regardless of upstream whitespace formatting."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\x00-\x1f\x7f]", " "), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length("text") - F.length(clean)).cast("bigint").alias("n_removed"),
+        (clean != F.col("text")).alias("changed"),
+    )

@@ -167,3 +167,29 @@ def test_corpus_composition_window_after_rollup(spark):
     # partition of group-count rows), never over the document fact
     plan = _plan(spark, "corpus_composition_report")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_range_join_is_hash_not_nested_loop(spark):
+    # the whole point of bucketing: an interval join that plans as an
+    # equi (hash) join, leaving no BroadcastNestedLoopJoin/cartesian
+    plan = _plan(spark, "bucketed_range_join_quantity")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    plan = _plan(spark, "chunk_documents_sliding")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_normalize_text_is_shuffle_free_codegen(spark):
+    # pure expression pipeline: no hash exchange, no Python evaluation
+    plan = _plan(spark, "normalize_text_suite")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_domain_quota_single_shuffle(spark):
+    plan = _plan(spark, "domain_quota_sample")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
