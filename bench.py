@@ -97,6 +97,10 @@ HEADLINE = [
     "domain_quota_sample",
     "chunk_documents_sliding",
     "normalize_text_suite",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
 ]
 
 

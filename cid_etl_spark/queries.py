@@ -3501,3 +3501,210 @@ def normalize_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(clean)).cast("bigint").alias("n_removed"),
         (clean != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S. TPC-H classics on the fixture star schema (Q3/Q5/Q10/Q18 shapes) —
+#    the canonical decision-support plans a replacement engine must run;
+#    Q5 goes through the pure SQL surface (spark.sql over temp views)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, o_orderpriority standing in for the
+    fixture-absent o_shippriority): segment-filtered customers broadcast
+    into orders, one shuffle join to lineitem, partial-agg rollup, then
+    global top-10 as TakeOrderedAndProject — a per-partition heap +
+    driver merge, never a full sort.  The unique l_orderkey tiebreak
+    makes the LIMIT edge deterministic across engines."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    agg = (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(price * (1 - disc))).alias("revenue"))
+    )
+    return agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority").orderBy(
+        F.desc("revenue"), "l_orderkey"
+    ).limit(10)
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) through the engine's SQL
+    surface: fixture tables registered as temp views, the query text
+    handed to ``spark.sql`` — same Catalyst pipeline, same plans as the
+    DataFrame API, proving the SQL-first user path works end-to-end.
+    The customer-nation = supplier-nation equality is the interesting
+    edge: it correlates the two fact-side dims, and Catalyst still
+    broadcasts every dim so the only shuffle is lineitem⋈orders."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                       AND s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): both fact filters (the
+    half-year order window, the 'R' return flag) push to the parquet
+    scans; customers broadcast into the order-keyed shuffle join; the
+    top-20 edge is deterministic via the unique custkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.sum(price * (1 - disc))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(round(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the IN-subquery becomes a
+    LEFT SEMI join against the big-order keys, themselves one
+    partial-agg pass over lineitem.  Every wide edge is keyed on the
+    order key, so the semi probe, the detail re-join, and the final
+    rollup all reuse one hash partitioning at scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    kept = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        li.join(kept, li.l_orderkey == kept.o_orderkey)
+        .join(F.broadcast(c), kept.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).alias("total_qty"))
+    )

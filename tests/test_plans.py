@@ -193,3 +193,25 @@ def test_normalize_text_is_shuffle_free_codegen(spark):
 def test_domain_quota_single_shuffle(spark):
     plan = _plan(spark, "domain_quota_sample")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q3_q10_topk_never_full_sort(spark):
+    # the LIMIT edge must plan as TakeOrderedAndProject (partition
+    # heaps + driver merge), not a global sort
+    for name in ("tpch_q3_shipping_priority", "tpch_q10_returned_items"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
+
+
+def test_q5_single_wide_edge_all_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q18_semi_and_rollup_reuse_order_partitioning(spark):
+    plan = _plan(spark, "tpch_q18_large_orders")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
