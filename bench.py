@@ -101,6 +101,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "media_audio_features",
 ]
 
 

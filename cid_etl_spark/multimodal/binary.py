@@ -143,3 +143,58 @@ def sample_video_frames(df: DataFrame, every_n_bytes: int = 8) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", F.posexplode(frames).alias("frame_idx", "frame_sig"))
     )
+
+
+#: Feature schema produced by the audio-decode stage.
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", StringType(), True),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB audio decoder — deterministic fake waveform stats derived
+    from the payload bytes.  Replace with soundfile/ffmpeg probing for
+    real data; the mapInPandas plumbing is already production-shaped.
+    """
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError(
+            "real audio decode requires an audio library not present "
+            "in this environment"
+        )
+    rates = (8000, 16000, 22050, 44100, 48000)
+    sr = rates[payload[0] % len(rates)]
+    n = 1000 * (1 + payload[1])  # fake sample count from the header byte
+    dur = (n * 1000) // sr
+    rms = f"{(sum(payload[:32]) % 1000) / 1000.0:.4f}"
+    return sr, n, dur, rms
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction, mirroring
+    :func:`decode_image_features`: (media_id, payload) batches in,
+    fixed-width waveform stats out, payload pruned after this stage.
+    The same shape carries real resample/VAD/fingerprint stages — each
+    is another mapInPandas over the previous stage's feature frame."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, n, dur, rms = _decode_audio_stub(bytes(payload))
+                rows.append((mid, sr, n, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_ms", "rms"],
+            )
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
+    )

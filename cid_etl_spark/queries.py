@@ -1291,6 +1291,20 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(attach_fake_media(d, "doc_id", "doc_id"))
 
 
+@_register("media_audio_features")
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched audio feature extraction over the binary payload
+    column (multimodal.binary.extract_audio_features — same
+    mapInPandas shape as the image path: bytes in, fixed-width
+    waveform stats out, payload pruned after the stage).  Rows-only:
+    the stub's byte arithmetic is not re-expressed in SQL; determinism
+    and the rate/duration invariant live in tests/test_multimodal.py."""
+    from cid_etl_spark.multimodal.binary import attach_fake_media, extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_fake_media(d, "doc_id", "doc_id"))
+
+
 @_register("cosine_topk_ivf")
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators.similarity.cosine_topk_ivf): k-means
