@@ -102,6 +102,8 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
     "media_audio_features",
+    "higher_order_funcs_suite",
+    "regex_extraction_suite",
 ]
 
 

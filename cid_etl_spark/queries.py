@@ -3722,3 +3722,88 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(money(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).alias("total_qty"))
     )
+
+
+@_register(
+    "higher_order_funcs_suite",
+    """
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)
+             AS norm_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_aggregate(list_transform(
+                     list_zip(embedding, list_reverse(embedding)),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 6)
+             AS rev_dot,
+           CAST(len(list_filter(embedding, x -> x > 0.2)) > 0 AS BOOLEAN)
+             AS has_large,
+           CAST(len(list_filter(embedding, x -> abs(x) > 1.0)) = 0 AS BOOLEAN)
+             AS all_bounded
+    FROM embeddings
+    """,
+)
+def higher_order_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class, codegen-side ops:
+    transform/aggregate (fold), filter, zip_with, exists, forall — the
+    lambda family that keeps array math OUT of Python UDFs.  Both
+    engines fold left-to-right over the same array order, and float32
+    widens to double exactly, so the sums agree bit-for-bit before the
+    final display rounding."""
+    d = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    norm_sq = F.aggregate(
+        F.transform(emb, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(emb, F.reverse(emb), lambda a, b: dbl(a) * dbl(b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round(norm_sq, 6).alias("norm_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(rev_dot, 6).alias("rev_dot"),
+        F.exists(emb, lambda x: x > 0.2).alias("has_large"),
+        F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
+    )
+
+
+@_register(
+    "regex_extraction_suite",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+                AS INT) AS n_emails,
+           lower(coalesce(regexp_extract(text, '([A-Za-z]{4,})', 1), ''))
+             AS first_long_word
+    FROM documents
+    """,
+)
+def regex_extraction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction family (regexp_extract_all / regexp_extract)
+    over documents: token-class censuses and a first-match pull, all
+    JVM-side codegen — the pattern layer under PII scrubbing and
+    boilerplate detection.  Patterns stay in the RE2-compatible subset
+    (no backrefs, no lookaround) so Java and RE2 engines agree."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), 0)).cast("int").alias(
+            "n_words"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), 0)).cast("int").alias(
+            "n_numbers"
+        ),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), 0)
+        ).cast("int").alias("n_emails"),
+        F.lower(F.coalesce(F.regexp_extract(t, r"([A-Za-z]{4,})", 1), F.lit(""))).alias(
+            "first_long_word"
+        ),
+    )
