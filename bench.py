@@ -104,6 +104,7 @@ HEADLINE = [
     "media_audio_features",
     "higher_order_funcs_suite",
     "regex_extraction_suite",
+    "vocab_encode_documents",
 ]
 
 

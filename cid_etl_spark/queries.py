@@ -3807,3 +3807,44 @@ def regex_extraction_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_long_word"
         ),
     )
+
+
+@_register(
+    "vocab_encode_documents",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
+        FROM tok GROUP BY token
+        QUALIFY token_id <= 100
+    )
+    SELECT t.doc_id, t.token, CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+    FROM tok t LEFT JOIN vocab v USING (token)
+    """,
+)
+def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary learning + broadcast encode — the tokenizer-prep
+    step of a training pipeline: build the top-K vocabulary (count
+    desc, token as the deterministic tie-break), broadcast it, and
+    re-encode every token as its id (-1 = OOV).  One shuffle to count
+    tokens; the vocab rank is a window over the ALREADY-AGGREGATED
+    unique-token table (at 100 TB, bound that input with a min-count
+    prefilter before ranking); the encode pass is a map-side broadcast
+    join, so the corpus itself never reshuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(F.desc("__cnt"), "token")
+    vocab = (
+        counts.select("token", F.row_number().over(w).alias("token_id"))
+        .filter(F.col("token_id") <= 100)
+    )
+    return tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "token",
+        F.coalesce(F.col("token_id").cast("bigint"), F.lit(-1)).alias("token_id"),
+    )
