@@ -105,6 +105,8 @@ HEADLINE = [
     "higher_order_funcs_suite",
     "regex_extraction_suite",
     "vocab_encode_documents",
+    "window_value_functions",
+    "referential_integrity_audit",
 ]
 
 

@@ -3848,3 +3848,78 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.coalesce(F.col("token_id").cast("bigint"), F.lit(-1)).alias("token_id"),
     )
+
+
+@_register(
+    "window_value_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth) with the frame spelled
+    out: the default RANGE-to-current-row frame makes ``last_value``
+    return the CURRENT row — the classic silent-wrong-answer — so the
+    engine always pins ROWS UNBOUNDED BOTH WAYS for whole-partition
+    values.  One shuffle on the customer key serves all three."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem_without_order' AS check_name, CAST(count(*) AS BIGINT) AS n_bad
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'order_without_customer', CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_without_any_order', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit as LEFT ANTI joins — the data-quality gate a
+    lake pipeline runs before publishing a snapshot.  Each check is an
+    anti probe against the parent's key projection (scan reads one
+    column); the three single-row counts union into one tiny report.
+    At 100 TB each anti join is one wide edge keyed on the FK, and a
+    clean audit short-circuits cheaply because anti output is empty."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def check(name: str, bad: DataFrame) -> DataFrame:
+        return bad.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bad")
+        ).select(F.lit(name).alias("check_name"), "n_bad")
+
+    li_orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    o_orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    c_idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        check("lineitem_without_order", li_orphans)
+        .unionByName(check("order_without_customer", o_orphans))
+        .unionByName(check("customer_without_any_order", c_idle))
+    )
