@@ -107,6 +107,9 @@ HEADLINE = [
     "vocab_encode_documents",
     "window_value_functions",
     "referential_integrity_audit",
+    "ansi_safe_arithmetic_suite",
+    "percentile_disc_stats",
+    "incremental_dedup_ingest",
 ]
 
 

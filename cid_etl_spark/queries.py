@@ -3923,3 +3923,100 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("order_without_customer", o_orphans))
         .unionByName(check("customer_without_any_order", c_idle))
     )
+
+
+@_register(
+    "ansi_safe_arithmetic_suite",
+    """
+    SELECT p_partkey,
+           round(p_retailprice / nullif(p_size, 0), 4) AS price_per_size,
+           TRY_CAST(p_brand AS DOUBLE) AS brand_num,
+           TRY_CAST(substr(p_name, 1, 2) AS INT) AS name_prefix_num
+    FROM part
+    """,
+)
+def ansi_safe_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety valves: Spark 4 runs ANSI SQL, so division by
+    zero and bad casts are runtime ERRORS unless routed through the
+    try_ family — try_divide and try_cast return NULL instead of
+    killing a 100 TB job 6 hours in.  The engine's convention: try_*
+    at ingest boundaries (untrusted values), hard casts downstream
+    (schema already proven)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.nullif(F.col("p_size"), F.lit(0))),
+            4,
+        ).alias("price_per_size"),
+        F.try_to_number(F.col("p_brand"), F.lit("999999.99")).cast("double").alias(
+            "brand_num"
+        ),
+        F.substring("p_name", 1, 2).try_cast("int").alias("name_prefix_num"),
+    )
+
+
+@_register(
+    "percentile_disc_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_disc,
+           round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (order-statistic) percentiles per group: unlike the
+    interpolating percentile_stats_lineitem, percentile_disc returns an
+    ACTUAL data value — the form auditors want ('a real order's price')
+    and the one that stays exact under decimal types.  Same partial-agg
+    shuffle shape as the continuous variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ),
+            2,
+        ).alias("p50_disc"),
+        F.round(
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ),
+            2,
+        ).alias("p90_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@_register(
+    "incremental_dedup_ingest",
+    """
+    WITH catalog AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), incoming AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT i.doc_id, i.lang
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM catalog c WHERE c.h = i.h)
+    """,
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: a new batch is admitted only where
+    its content hash misses the EXISTING corpus catalog — the daily
+    operation of a training-data lake, where re-deduplicating 100 TB
+    per batch is off the table.  The catalog side is a one-column hash
+    projection (at scale: the stored fingerprint table, not a rescan);
+    the probe is one LEFT ANTI join keyed on the hash, and the batch
+    (the small side) is what shuffles.  Compose with
+    minhash_dedup_pairs on the survivors for near-dup admission."""
+    d = load_table(spark, sf_dir, "documents")
+    catalog = (
+        d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    return incoming.join(catalog, "h", "left_anti").select("doc_id", "lang")
