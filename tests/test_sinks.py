@@ -112,3 +112,74 @@ def test_observed_quality_counts_without_extra_pass(spark):
     observed, obs = observed_quality(df, "qc", "v")
     assert observed.count() == 4  # the action that populates the metrics
     assert obs.get == {"total": 4, "missing": 2}
+
+
+def test_zorder_write_bounds_file_rectangles(spark, tmp_path):
+    """Z-ordered files must cover far smaller (partkey x suppkey)
+    rectangles than a round-robin layout — that footer-stat tightness
+    IS the data-skipping win, measured here exactly as a scan planner
+    would: from the parquet min/max metadata."""
+    import pyarrow.parquet as pq
+
+    from cid_etl_spark.sources.parquet import load_table
+    from cid_etl_spark.sources.sinks import zorder_write
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_write(li, "l_partkey", "l_suppkey", zdir, n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(rdir)
+
+    def avg_rect_area(d):
+        import os
+
+        areas = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for rg in range(md.num_row_groups):
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg)
+                    .column(i)
+                    .statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                px = stats["l_partkey"]
+                sx = stats["l_suppkey"]
+                areas.append(
+                    (px.max - px.min + 1) * (sx.max - sx.min + 1)
+                )
+        return sum(areas) / len(areas)
+
+    z_area, r_area = avg_rect_area(zdir), avg_rect_area(rdir)
+    # round-robin files span ~the whole key space; z-ordered files must
+    # cover a fraction of it on BOTH dimensions at once
+    assert z_area < 0.5 * r_area, (z_area, r_area)
+
+    # and the layout is lossless: same multiset of rows
+    a = spark.read.parquet(zdir).groupBy("l_partkey", "l_suppkey").count()
+    b = spark.read.parquet(rdir).groupBy("l_partkey", "l_suppkey").count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_morton_code_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.sources.sinks import morton_code
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_code("x", "y").alias("z")).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y, z)
