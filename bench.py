@@ -110,6 +110,7 @@ HEADLINE = [
     "ansi_safe_arithmetic_suite",
     "percentile_disc_stats",
     "incremental_dedup_ingest",
+    "price_histogram_orders",
 ]
 
 

@@ -4020,3 +4020,36 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.md5("text").alias("h")
     )
     return incoming.join(catalog, "h", "left_anti").select("doc_id", "lang")
+
+
+@_register(
+    "price_histogram_orders",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 21
+                ELSE floor(o_totalprice / 30000) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS bucket_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` (20 buckets over
+    [0, 600k), underflow 0 / overflow 21 per SQL semantics): the
+    profiling primitive behind range-partition boundary planning and
+    skew reports.  Entirely map-side until the 20-row rollup — the
+    histogram of a 100 TB column costs one scan and one tiny shuffle.
+    The DuckDB twin spells out the same bucket arithmetic (it lacks
+    width_bucket); values are exact at the shared power-of-ten
+    boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket(
+            F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20)
+        ).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("bucket_value"),
+    )
