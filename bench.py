@@ -111,6 +111,7 @@ HEADLINE = [
     "percentile_disc_stats",
     "incremental_dedup_ingest",
     "price_histogram_orders",
+    "cohort_retention_events",
 ]
 
 

@@ -4053,3 +4053,44 @@ def price_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         money(decimal_sum("o_totalprice")).alias("bucket_value"),
     )
+
+
+@_register(
+    "cohort_retention_events",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS w
+        FROM events
+    ), firsts AS (
+        SELECT user_id, min(w) AS w0 FROM ud GROUP BY user_id
+    )
+    SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+           CAST((u.w - f.w0) / 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM ud u JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users keyed by first-active week,
+    counted at each week offset they return.  The distinct lands rows
+    by (user_id, month); the per-user min and the join back both
+    cluster on user_id, so the whole cohort assignment runs inside two
+    exchanges and the final (cohort, offset) rollup is group-count
+    sized.  At 100 TB the ud table (distinct user-months) is the only
+    large intermediate, and it's orders smaller than the event fact."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.trunc(F.to_date("ts"), "week").alias("w")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
