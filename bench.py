@@ -112,6 +112,7 @@ HEADLINE = [
     "incremental_dedup_ingest",
     "price_histogram_orders",
     "cohort_retention_events",
+    "argmax_suite_customers",
 ]
 
 

@@ -4094,3 +4094,44 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+@_register(
+    "argmax_suite_customers",
+    """
+    SELECT n.n_name,
+           arg_max(c.c_name,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) * 1000000
+                     + c.c_custkey) AS richest,
+           arg_min(c.c_name,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) * 1000000
+                     + c.c_custkey) AS poorest,
+           round(max(c.c_acctbal), 2) AS max_bal,
+           round(min(c.c_acctbal), 2) AS min_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def argmax_suite_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax/argmin (max_by / min_by): fetch the extreme
+    ROW's attribute in the same single aggregation pass — no window, no
+    self-join, no per-group sort, so it partial-aggregates map-side
+    where a row_number() top-1 must shuffle every row.  The ordering
+    value folds cents and the unique custkey into one bigint so ties
+    cannot make the survivor engine-dependent."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    score = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 1000000 + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", score).alias("richest"),
+            F.min_by("c_name", score).alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
