@@ -113,6 +113,7 @@ HEADLINE = [
     "price_histogram_orders",
     "cohort_retention_events",
     "argmax_suite_customers",
+    "copurchase_part_pairs",
 ]
 
 
