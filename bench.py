@@ -114,6 +114,7 @@ HEADLINE = [
     "cohort_retention_events",
     "argmax_suite_customers",
     "copurchase_part_pairs",
+    "headdup_keep_longest",
 ]
 
 

@@ -4179,3 +4179,52 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@_register(
+    "headdup_keep_longest",
+    r"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               md5(array_to_string(
+                   string_split_regex(lower(trim(text)), '\s+')[1:10], ' '))
+                 AS head_key
+        FROM documents WHERE length(trim(text)) > 0
+    ), ranked AS (
+        SELECT doc_id, lang, n_chars, head_key,
+               row_number() OVER (PARTITION BY head_key
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY head_key) AS BIGINT)
+                 AS family_size
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, family_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def headdup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup (vs the keep-first of exact_dedup): documents
+    sharing the same first-10-token fingerprint are treated as a
+    repost/expansion family, and the LONGEST member survives — the
+    canonicalization rule curation pipelines use when one variant
+    subsumes the others.  The family key is a fixed-width md5 computed
+    map-side, so the single shuffle carries 16-byte keys + metadata,
+    never the text; rank and family size share one window pass."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    head_key = F.md5(F.array_join(F.slice(tokens("text"), 1, 10), " "))
+    keyed = d.select("doc_id", "lang", "n_chars", head_key.alias("head_key"))
+    w = Window.partitionBy("head_key").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("head_key")
+    return (
+        keyed.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("family_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
