@@ -115,6 +115,7 @@ HEADLINE = [
     "argmax_suite_customers",
     "copurchase_part_pairs",
     "headdup_keep_longest",
+    "approx_topk_priorities",
 ]
 
 

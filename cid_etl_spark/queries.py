@@ -4228,3 +4228,28 @@ def headdup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@_register(
+    "approx_topk_priorities",
+    """
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k — the mergeable frequent-items sketch: partials
+    combine map-side in bounded space, so the shuffle carries sketches
+    and a 100 TB heavy-hitter query never materializes per-key counts.
+    Oracled EXACTLY because the sketch tracks up to 10k items — above
+    the column's cardinality, where its counts are exact by
+    construction (the test would catch a sketch that stops being
+    lossless under that bound).  High-cardinality use pairs it with
+    heavy_hitters_parts as the exact contrast."""
+    o = load_table(spark, sf_dir, "orders")
+    tk = o.select(
+        F.explode(F.expr("approx_top_k(o_orderpriority, 10)")).alias("e")
+    )
+    return tk.select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
+    )
