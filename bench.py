@@ -116,6 +116,8 @@ HEADLINE = [
     "copurchase_part_pairs",
     "headdup_keep_longest",
     "approx_topk_priorities",
+    "event_transition_matrix",
+    "ewma_user_values",
 ]
 
 

@@ -76,3 +76,39 @@ def resample_ffill(
         F.last("__avg", ignorenulls=True).over(w).alias("avg_value"),
         F.col("__avg").isNull().alias("is_gap"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact exponentially-weighted moving average per key, ordered by
+    *ts_col* (ties broken by *tiebreak* for engine-independent order).
+
+    EWMA's recurrence (s_t = a*x_t + (1-a)*s_{t-1}) is inherently
+    sequential, so no SQL window expresses it exactly; the distributed
+    form is a grouped Arrow pass: one shuffle lands each key's series
+    in one group, applyInPandas runs the recurrence vectorized inside
+    the worker, and the result adds one column.  At 100 TB the state
+    per task is a single float per series — the partition bound is the
+    largest single key's row count, same as any ordered window.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ewma double"
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf
+
+    return df.groupBy(*list(keys)).applyInPandas(apply, out_schema)

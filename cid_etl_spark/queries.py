@@ -4253,3 +4253,52 @@ def approx_topk_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.select(
         F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
     )
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix (who does what next):
+    lead() over each user's event sequence, then a type-pair rollup —
+    the input to Markov attribution and funnel-drop diagnosis.  One
+    shuffle on user_id serves the ordering window, and the 25-cell
+    rollup partial-aggregates map-side; ties in ts break on the unique
+    event_id so the sequence is engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@_register("ewma_user_values")
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user EWMA over event values
+    (operators.timeseries.ewma_by_key): the recurrence is inherently
+    sequential so no SQL window (or DuckDB oracle) expresses it — one
+    shuffle groups each user's series, an Arrow grouped-map runs the
+    vectorized recurrence in-worker.  Rows-only here; exactness against
+    the sequential definition is pinned in
+    tests/test_timeseries_udtf_sketch.py."""
+    from cid_etl_spark.operators.timeseries import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ewma_by_key(ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id")

@@ -161,3 +161,33 @@ def test_approx_percentiles_bracket_exact_rank(spark):
         e50, e90, e99 = exact[flag]
         for a, e in [(a50, e50), (a90, e90), (a99, e99)]:
             assert abs(a - e) / e < 0.02  # GK at acc=1e4 is far tighter
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    import pandas as pd
+
+    from cid_etl_spark.operators.timeseries import ewma_by_key
+    from cid_etl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    got = ewma_by_key(
+        ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id"
+    ).toPandas()
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    expect = (
+        pdf.groupby("user_id")["value"]
+        .apply(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+        .reset_index(level=0, drop=True)
+        .round(6)
+    )
+    pdf["expect"] = expect
+    merged = pdf.merge(got[["event_id", "ewma"]], on="event_id")
+    assert len(merged) == len(pdf)
+    assert (merged["expect"] - merged["ewma"]).abs().max() < 1e-9
+
+    # first value of each series is the raw value (recurrence seed)
+    firsts = merged.sort_values(["user_id", "ts", "event_id"]).groupby("user_id").first()
+    assert (firsts["value"].round(6) == firsts["ewma"]).all()
