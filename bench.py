@@ -118,6 +118,7 @@ HEADLINE = [
     "approx_topk_priorities",
     "event_transition_matrix",
     "ewma_user_values",
+    "sql_udf_cid_functions",
 ]
 
 

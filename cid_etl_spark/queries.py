@@ -4302,3 +4302,72 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     return ewma_by_key(ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id")
+
+
+@_register(
+    "sql_udf_cid_functions",
+    """
+    WITH src AS (
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 1))
+                 || CAST(p_partkey % 100 AS VARCHAR)
+                 || CASE WHEN p_partkey % 4 = 0 THEN '.' || CAST(p_partkey % 10 AS VARCHAR)
+                         ELSE '' END AS raw
+        FROM part
+    )
+    SELECT p_partkey,
+           upper(trim(raw)) AS norm,
+           CASE WHEN length(upper(trim(raw))) >= 4
+                     AND trim(substr(upper(trim(raw)), 4, 1)) <> ''
+                THEN substr(upper(trim(raw)), 1, 3) || '.'
+                     || substr(upper(trim(raw)), 4)
+                ELSE substr(upper(trim(raw)), 1, 3) END AS dotted,
+           string_split(upper(trim(raw)), '.')[1] AS root
+    FROM src
+    """,
+)
+def sql_udf_cid_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar functions (normalize_code
+    etl_cid10.py:11-14, format_subcat :249-258, extract_root_category
+    :17-21) declared as SQL UDFs — ``CREATE FUNCTION ... RETURN
+    <expr>`` — and invoked from a query.  The function BODY is a pure
+    SQL expression, so Catalyst inlines it into whole-stage codegen:
+    user-defined does NOT mean Python-evaluated, and the plan carries
+    no EvalPython stage (pinned in tests/test_plans.py).  This is the
+    engine's recommended extension point before reaching for pandas
+    UDFs."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cid_norm(s STRING) "
+        "RETURNS STRING RETURN upper(trim(s))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cid_format_subcat(s STRING) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN length(cid_norm(s)) >= 4 "
+        "          AND trim(substr(cid_norm(s), 4, 1)) != '' "
+        "     THEN concat(substr(cid_norm(s), 1, 3), '.', substr(cid_norm(s), 4)) "
+        "     ELSE substr(cid_norm(s), 1, 3) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cid_root(s STRING) "
+        "RETURNS STRING RETURN substring_index(cid_norm(s), '.', 1)"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH src AS (
+            SELECT p_partkey,
+                   concat(upper(substr(p_name, 1, 1)),
+                          CAST(p_partkey % 100 AS STRING),
+                          CASE WHEN p_partkey % 4 = 0
+                               THEN concat('.', CAST(p_partkey % 10 AS STRING))
+                               ELSE '' END) AS raw
+            FROM part
+        )
+        SELECT p_partkey,
+               cid_norm(raw) AS norm,
+               cid_format_subcat(raw) AS dotted,
+               cid_root(raw) AS root
+        FROM src
+        """
+    )

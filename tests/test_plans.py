@@ -215,3 +215,11 @@ def test_q18_semi_and_rollup_reuse_order_partitioning(spark):
     plan = _plan(spark, "tpch_q18_large_orders")
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_udfs_inline_into_codegen(spark):
+    # CREATE FUNCTION ... RETURN <expr> must inline — user-defined
+    # never means Python-evaluated for expression bodies
+    plan = _plan(spark, "sql_udf_cid_functions")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
