@@ -264,3 +264,75 @@ def enriched_purchases(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
             F.coalesce("tier", F.lit("unknown")).alias("tier"),
         )
     )
+
+
+def stream_dedup_ingest(
+    incoming: DataFrame,
+    catalog_dir: str,
+    admitted_dir: str,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming admission control for a training-data lake: each
+    micro-batch of documents is admitted only where its content hash
+    misses BOTH the persistent corpus catalog and the batch's own
+    earlier duplicates, then the catalog is extended — the streaming
+    twin of queries.incremental_dedup_ingest.
+
+    ``foreachBatch`` is the right tool (not a stream-stream join): the
+    catalog is a growing *batch* table, re-read per micro-batch so
+    admissions in batch N are rejected as duplicates in batch N+1
+    without any watermark/state-store bound on the dedup horizon —
+    state lives in parquet, not executor memory, so the horizon is
+    unbounded at 100 TB.  Within a batch, a keep-min-id window picks
+    one survivor per hash (batches can carry internal dups).  The
+    write order (admitted first, then catalog append) makes replays
+    safe: a re-run batch re-admits the same rows idempotently via
+    dynamic partition overwrite on (run token, batch id) — the token is
+    fixed per query run, so checkpoint replays rewrite their own
+    partition while a NEW ingest query appends fresh partitions.
+    """
+    import os
+    import uuid
+
+    run_token = uuid.uuid4().hex[:12]
+
+    from pyspark.sql.window import Window as W
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("__h", F.md5(F.col(text_col)))
+        w = W.partitionBy("__h").orderBy("doc_id")
+        hashed = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(catalog_dir) and any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for _r, _d, fs in os.walk(catalog_dir)
+            for f in fs
+        ):
+            catalog = spark.read.parquet(catalog_dir).select("__h").distinct()
+            hashed = hashed.join(catalog, "__h", "left_anti")
+        admitted = hashed.persist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            admitted.withColumn("__batch", F.lit(f"{run_token}-{batch_id}"))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(admitted_dir)
+        )
+        admitted.select("__h").write.mode("append").parquet(catalog_dir)
+        admitted.unpersist()
+
+    writer = (
+        incoming.writeStream.foreachBatch(admit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()

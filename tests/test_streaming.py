@@ -223,3 +223,57 @@ def test_stream_static_join_enriches_purchases(spark, event_stream_dir):
     n_purchases = batch.filter(F.col("event_type") == "purchase").count()
     assert got.count() == n_purchases
     assert got.filter(F.col("tier").isin("gold", "basic")).count() == n_purchases
+
+
+def test_stream_dedup_ingest_admits_only_new_content(spark, tmp_path):
+    """Two streamed batches with overlapping content: the second batch's
+    duplicates of batch one must be rejected by the parquet catalog,
+    and in-batch duplicates keep exactly one survivor."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.sources.parquet import load_table
+    from cid_etl_spark.streaming.events import stream_dedup_ingest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    catalog = str(tmp_path / "catalog")
+    admitted = str(tmp_path / "admitted")
+
+    # batch 1: docs 0..39
+    b1_dir = str(tmp_path / "in1")
+    docs.filter("doc_id < 40").write.parquet(b1_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(b1_dir)
+    stream_dedup_ingest(
+        stream, catalog, admitted, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    first = spark.read.parquet(admitted)
+    n1 = first.count()
+    assert n1 > 0
+    # one survivor per distinct text
+    assert n1 == docs.filter("doc_id < 40").select("text").distinct().count()
+
+    # batch 2: docs 20..59 — 20..39 are catalog duplicates
+    b2_dir = str(tmp_path / "in2")
+    docs.filter("doc_id >= 20 AND doc_id < 60").write.parquet(b2_dir)
+    stream2 = spark.readStream.schema(docs.schema).parquet(b2_dir)
+    stream_dedup_ingest(
+        stream2, catalog, admitted, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    after = spark.read.parquet(admitted)
+    # every admitted text is unique corpus-wide: no hash appears twice
+    dupes = (
+        after.groupBy(F.md5("text").alias("h")).count().filter("count > 1").count()
+    )
+    assert dupes == 0
+    # batch 2 contributed only genuinely new content
+    new_texts = (
+        docs.filter("doc_id >= 40 AND doc_id < 60")
+        .select("text")
+        .exceptAll(docs.filter("doc_id < 40").select("text"))
+        .distinct()
+        .count()
+    )
+    assert after.count() == n1 + new_texts
