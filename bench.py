@@ -119,6 +119,7 @@ HEADLINE = [
     "event_transition_matrix",
     "ewma_user_values",
     "sql_udf_cid_functions",
+    "aggregate_completeness_suite",
 ]
 
 

@@ -4371,3 +4371,36 @@ def sql_udf_cid_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM src
         """
     )
+
+
+@_register(
+    "aggregate_completeness_suite",
+    """
+    SELECT c_nationkey,
+           bool_and(c_acctbal > 0) AS all_pos,
+           bool_or(c_acctbal < 0) AS any_neg,
+           CAST(bit_and(c_custkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(c_custkey) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(c_custkey) AS BIGINT) AS key_bit_xor,
+           round(covar_samp(c_acctbal, c_custkey), 4) AS cov_s,
+           round(covar_pop(c_acctbal, c_custkey), 4) AS cov_p
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def aggregate_completeness_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long tail of the aggregate surface: boolean quantifiers
+    (every/any), bitwise folds (the xor fold doubles as a cheap
+    set-equality checksum in reconciliation jobs), and sample/population
+    covariance.  All are algebraic — partials merge map-side — so the
+    whole suite rides one group-key shuffle like any sum."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.every(F.col("c_acctbal") > 0).alias("all_pos"),
+        F.some(F.col("c_acctbal") < 0).alias("any_neg"),
+        F.bit_and("c_custkey").cast("bigint").alias("key_bit_and"),
+        F.bit_or("c_custkey").cast("bigint").alias("key_bit_or"),
+        F.bit_xor("c_custkey").cast("bigint").alias("key_bit_xor"),
+        F.round(F.covar_samp("c_acctbal", "c_custkey"), 4).alias("cov_s"),
+        F.round(F.covar_pop("c_acctbal", "c_custkey"), 4).alias("cov_p"),
+    )
