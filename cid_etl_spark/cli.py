@@ -30,6 +30,20 @@ def build_parser() -> argparse.ArgumentParser:
         "(CAPITULOS/GRUPOS/CATEGORIAS/SUBCATEGORIAS)",
     )
     parser.add_argument("--out", default="cid10_consolidado.csv", help="output CSV path")
+    parser.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="run a registered engine query by name instead of the CID "
+        "pipeline (see cid_etl_spark.queries); prints --show rows",
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="fixture/table directory for --run-query",
+    )
+    parser.add_argument(
+        "--show", type=int, default=20, help="rows to print for --run-query"
+    )
     return parser
 
 
@@ -42,6 +56,18 @@ def main(argv: Sequence[str] | None = None) -> str:
     from cid_etl_spark.session import get_spark
 
     spark = get_spark("cid-etl-cli")
+    if args.run_query:
+        from cid_etl_spark.queries import spark_queries
+
+        queries = spark_queries()
+        if args.run_query not in queries:
+            raise SystemExit(
+                f"unknown query {args.run_query!r}; available: "
+                + ", ".join(sorted(queries))
+            )
+        df = queries[args.run_query](spark, args.sf_dir)
+        df.show(args.show, truncate=False)
+        return args.run_query
     if args.datasus_dir:
         _, metrics = run_etl_from_datasus_dir(
             spark, args.datasus_dir, output_csv=args.out

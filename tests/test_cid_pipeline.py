@@ -189,3 +189,23 @@ def test_cli_insufficient_params(spark):
 
     with pytest.raises(SystemExit, match="Insufficient"):
         main(["--datasus", "/nope.csv"])
+
+
+def test_cli_run_query_mode(spark, capsys):
+    from cid_etl_spark.cli import main
+
+    got = main(
+        ["--run-query", "listagg_nations", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert got == "listagg_nations"
+    out = capsys.readouterr().out
+    assert "r_name" in out and "n_nations" in out
+
+
+def test_cli_run_query_unknown_name(spark):
+    import pytest as _pytest
+
+    from cid_etl_spark.cli import main
+
+    with _pytest.raises(SystemExit, match="unknown query"):
+        main(["--run-query", "no_such_query"])
