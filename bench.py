@@ -120,6 +120,7 @@ HEADLINE = [
     "ewma_user_values",
     "sql_udf_cid_functions",
     "aggregate_completeness_suite",
+    "grouping_id_disambiguation",
 ]
 
 

@@ -4404,3 +4404,36 @@ def aggregate_completeness_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("c_acctbal", "c_custkey"), 4).alias("cov_s"),
         F.round(F.covar_pop("c_acctbal", "c_custkey"), 4).alias("cov_p"),
     )
+
+
+@_register(
+    "grouping_id_disambiguation",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_id_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() flags on GROUPING SETS output: without them a NULL
+    group column is ambiguous — 'the subtotal row' vs 'the group whose
+    key IS NULL' — which silently corrupts downstream pivots the moment
+    a nullable key appears.  The flags are computed inside the same
+    Expand + aggregate pass; no extra shuffle over plain grouping
+    sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

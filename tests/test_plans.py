@@ -223,3 +223,26 @@ def test_sql_udfs_inline_into_codegen(spark):
     plan = _plan(spark, "sql_udf_cid_functions")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    # the escape hatch when AQE's choice is wrong: hints must override
+    # the planner's default strategy pick
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders", spread=False)
+    c = load_table(spark, SF_SMOKE, "customer", spread=False)
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan_m = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m, plan_m
+
+    shj = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan_s = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_s, plan_s
+
+    bc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    plan_b = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b, plan_b
