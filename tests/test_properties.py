@@ -118,3 +118,81 @@ def test_priority_dedup_invariants(spark, rows):
     for k, f in rows:
         best[k] = max(best.get(k, ""), f)
     assert got == {(k, f) for k, f in best.items()}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FF
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_text_normalization_is_idempotent(spark, values):
+    """clean(clean(x)) == clean(x): the cleaning pass must be a
+    projection onto its own image, or re-running a pipeline would keep
+    changing bytes (and content hashes) forever."""
+    df = spark.createDataFrame([(v,) for v in values], "text string")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\x00-\x1f\x7f]", " "), r"\s+", " "
+        )
+    )
+    once = df.select(clean.alias("text"))
+    twice = once.select(clean.alias("text"))
+    assert [r.text for r in once.collect()] == [r.text for r in twice.collect()]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd\n\t", min_size=0, max_size=120),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunking_covers_every_token_exactly_once_at_stride_eq_size(spark, values):
+    """With stride == chunk size the windows tile the token stream:
+    re-concatenating each doc's chunks in offset order must reproduce
+    its full token sequence (no token lost, none duplicated)."""
+    from cid_etl_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "doc_id long, text string"
+    )
+    toks = df.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(32))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        F.col("toks"),
+    ).select(
+        "doc_id", "s", F.array_join(F.slice("toks", F.col("s"), 32), " ").alias("c")
+    )
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("s"), F.col("c")))
+                    ),
+                    lambda x: x.c,
+                ),
+                " ",
+            ).alias("joined")
+        )
+    )
+    expect = {
+        r.doc_id: " ".join(r.toks)
+        for r in toks.select("doc_id", "toks").collect()
+    }
+    got = {r.doc_id: r.joined for r in rebuilt.collect()}
+    assert got == expect
