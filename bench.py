@@ -121,6 +121,8 @@ HEADLINE = [
     "sql_udf_cid_functions",
     "aggregate_completeness_suite",
     "grouping_id_disambiguation",
+    "unigram_logprob_score",
+    "embedding_quantize_int8",
 ]
 
 

@@ -183,3 +183,27 @@ def test_morton_code_interleaves_bits(spark):
 
     for (x, y), z in got.items():
         assert z == ref(x, y), (x, y, z)
+
+
+def test_partitioned_layout_enables_dynamic_partition_pruning(spark, tmp_path):
+    """Hive-partitioned parquet + a selective dim filter must produce a
+    DynamicPruning subquery on the fact scan: at 100 TB this is the
+    difference between scanning one partition directory and all of
+    them when the partition keys arrive only through a join."""
+    fact_dir = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF_SMOKE, "orders", spread=False)
+    orders.write.partitionBy("o_orderstatus").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+    joined = fact.join(dim, fact.o_orderstatus == dim.status)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    # and it actually prunes: only the 'O' partition's rows survive
+    got = joined.count()
+    expect = orders.filter("o_orderstatus = 'O'").count()
+    assert got == expect
