@@ -4080,9 +4080,15 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized.  At 100 TB the ud table (distinct user-months) is the only
     large intermediate, and it's orders smaller than the event fact."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.trunc(F.to_date("ts"), "week").alias("w")
-    ).distinct()
+    # partition by user_id ALONE before the distinct: hash(user) already
+    # clusters (user, week) pairs, so the distinct, the per-user min,
+    # and the join back all reuse this single exchange instead of
+    # re-shuffling the user-week table three times
+    ud = (
+        ev.select("user_id", F.trunc(F.to_date("ts"), "week").alias("w"))
+        .repartition("user_id")
+        .distinct()
+    )
     firsts = ud.groupBy("user_id").agg(F.min("w").alias("w0"))
     return (
         ud.join(firsts, "user_id")
@@ -4163,7 +4169,14 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.  The same plan at 100 TB is the co-occurrence step of
     recommendation and phrase-mining pipelines."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # partition by the basket key alone: hash(orderkey) clusters the
+    # (orderkey, partkey) distinct AND both self-join sides, so the
+    # whole pairing pipeline reuses one exchange
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
