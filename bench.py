@@ -123,6 +123,8 @@ HEADLINE = [
     "grouping_id_disambiguation",
     "unigram_logprob_score",
     "embedding_quantize_int8",
+    "null_safe_join_counts",
+    "multiset_ops_orders",
 ]
 
 

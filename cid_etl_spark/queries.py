@@ -4559,3 +4559,65 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("__err", 6).alias("max_abs_err"),
     )
+
+
+@_register(
+    "null_safe_join_counts",
+    """
+    WITH a AS (
+        SELECT doc_id, nullif(lang, 'en') AS k FROM documents
+    ), b AS (
+        SELECT source, nullif(lang, 'en') AS k
+        FROM (SELECT DISTINCT source, lang FROM documents)
+    )
+    SELECT a.k, CAST(count(*) AS BIGINT) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): ordinary
+    equi-join predicates silently DROP null-keyed rows (NULL = NULL is
+    NULL), the classic fact/dim bug when a key is optional.  <=> is
+    still a hash-joinable equality, so the plan stays a hash join —
+    the nulls just hash to one bucket (salt them if a null-heavy key
+    skews)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("k"))
+    b = (
+        d.select("source", "lang").distinct()
+        .select("source", F.nullif(F.col("lang"), F.lit("en")).alias("k"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .groupBy(a.k.alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@_register(
+    "multiset_ops_orders",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY o_orderpriority
+    """,
+)
+def multiset_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: EXCEPT ALL subtracts
+    MULTIPLICITIES (a priority appearing 50x open and 30x finished
+    survives 20x) where the DISTINCT variants covered elsewhere
+    (intersect_nations / except_nations) collapse to membership — the
+    difference matters whenever counts carry meaning, e.g. diffing two
+    snapshots row-for-row.  Spark plans it as one aggregate computing
+    per-row count deltas, not a join."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        open_p.exceptAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
