@@ -125,6 +125,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "null_safe_join_counts",
     "multiset_ops_orders",
+    "inverted_index_lookup",
 ]
 
 

@@ -4621,3 +4621,42 @@ def multiset_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@_register(
+    "inverted_index_lookup",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), postings AS (
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS posting
+        FROM tok GROUP BY term
+    )
+    SELECT term, df, posting
+    FROM postings
+    WHERE term IN ('data', 'query', 'spark', 'table', 'index')
+    """,
+)
+def inverted_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build + term lookup — the retrieval primitive
+    under search and n-gram decontamination: one shuffle on the term
+    key builds (term -> sorted posting list, document frequency), and
+    lookups are then partition-pruned point reads.  The posting list
+    renders as a sorted joined string so the oracle never compares raw
+    arrays.  At 100 TB, postings for stop-word-frequency terms are the
+    skew hazard: cap or delta-encode them at write (df alone often
+    suffices — see tfidf_top_terms), exactly like the hot-shingle
+    handling in the Jaccard index."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    postings = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("posting"),
+    )
+    return postings.filter(
+        F.col("term").isin("data", "query", "spark", "table", "index")
+    )
