@@ -126,6 +126,7 @@ HEADLINE = [
     "null_safe_join_counts",
     "multiset_ops_orders",
     "inverted_index_lookup",
+    "bm25_search_documents",
 ]
 
 

@@ -4660,3 +4660,74 @@ def inverted_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings.filter(
         F.col("term").isin("data", "query", "spark", "table", "index")
     )
+
+
+@_register(
+    "bm25_search_documents",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(len) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok WHERE term IN ('data', 'query', 'index')
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT t.doc_id,
+           round(sum(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl))
+           ), 4) AS bm25
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term set —
+    the ranking layer over inverted_index_lookup.  Corpus statistics
+    (N, avgdl) fold to ONE row and the per-term dfs to a query-sized
+    table; both broadcast back over the tf table, so scoring re-joins
+    nothing fact-sized and the top-20 edge is a heap.  The tf table is
+    pre-filtered to the query terms BEFORE its shuffle — at 100 TB
+    that filter is the difference between shuffling three terms'
+    postings and the whole token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin("data", "query", "index"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
