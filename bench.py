@@ -127,6 +127,8 @@ HEADLINE = [
     "multiset_ops_orders",
     "inverted_index_lookup",
     "bm25_search_documents",
+    "hybrid_rrf_search",
+    "bpe_pair_counts",
 ]
 
 

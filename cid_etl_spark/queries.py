@@ -4731,3 +4731,171 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@_register(
+    "hybrid_rrf_search",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok WHERE term IN ('data', 'query', 'index')
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm AS (
+        SELECT t.doc_id,
+               round(sum(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl))
+               ), 4) AS score
+        FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s GROUP BY t.doc_id
+    ), brank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm QUALIFY r <= 50
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_aggregate(list_transform(
+                   list_zip(e.embedding, qv.q),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 6)
+                 AS sim
+        FROM embeddings e, qv
+    ), vrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM cos QUALIFY r <= 50
+    )
+    SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + b.r), 0)
+                 + coalesce(1.0 / (60 + v.r), 0), 6) AS rrf
+    FROM brank b FULL OUTER JOIN vrank v USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the lexical
+    channel (BM25 top-50) and the dense channel (cosine vs a fixed
+    query vector, top-50) are fused by summed 1/(60+rank) — the
+    rank-space combination that needs no score calibration between
+    channels.  Both channels rank on ROUNDED scores with a doc-id
+    tiebreak so rank edges are engine-independent; each channel's
+    candidate set is rank-capped before the join, so fusion touches
+    ~2k rows however big the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    # lexical channel — same shape as bm25_search_documents
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin("data", "query", "index"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("score"))
+    )
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    brank = bm.select("doc_id", F.row_number().over(wb).alias("r")).filter(
+        F.col("r") <= 50
+    )
+    # dense channel — dot against the vec_id=0 query (vectors are unit-norm)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("embedding", "q", lambda a, b: dbl(a) * dbl(b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cos = e.join(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"), sim.alias("sim")
+    )
+    wv = Window.orderBy(F.desc("sim"), "doc_id")
+    vrank = cos.select("doc_id", F.row_number().over(wv).alias("r")).filter(
+        F.col("r") <= 50
+    )
+    fused = brank.alias("b").join(
+        vrank.alias("v"), F.col("b.doc_id") == F.col("v.doc_id"), "full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("b.r")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("v.r")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("b.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
+@_register(
+    "bpe_pair_counts",
+    r"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ), pairs AS (
+        SELECT p[1] || ' ' || p[2] AS pair
+        FROM t, unnest(list_zip(toks[1:-2], toks[2:-1])) u(p)
+        WHERE len(toks) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration at corpus scale: count every adjacent
+    token pair and rank the merge candidates — the inner loop of
+    tokenizer training, where each round merges the top pair and
+    recounts.  Pair generation is a narrow zip of the token array with
+    its own tail (no self-join of positions); one shuffle aggregates
+    pair counts with map-side partials; the candidate edge is a heap."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
