@@ -129,6 +129,7 @@ HEADLINE = [
     "bm25_search_documents",
     "hybrid_rrf_search",
     "bpe_pair_counts",
+    "snapshot_diff_orders",
 ]
 
 

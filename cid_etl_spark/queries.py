@@ -4899,3 +4899,65 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@_register(
+    "snapshot_diff_orders",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 97 <> 0
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n
+    FROM v2 WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.o_orderkey = v2.o_orderkey)
+    UNION ALL
+    SELECT 'removed', CAST(count(*) AS BIGINT)
+    FROM v1 WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.o_orderkey = v1.o_orderkey)
+    UNION ALL
+    SELECT 'changed', CAST(count(*) AS BIGINT)
+    FROM v1 JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderstatus <> v2.o_orderstatus
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the CDC-validation op): two versions of
+    a table diffed into added / removed / changed counts — anti joins
+    for membership drift, an inner join with a column-inequality
+    predicate for mutations.  All three probes key on o_orderkey, so
+    at scale one co-partitioning serves every branch; the synthetic v2
+    here mutates ~1% of keys and drops/adds ~1% to keep all branches
+    non-empty at every fixture scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+
+    def count_as(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("change"), "n"
+        )
+
+    added = v2.join(v1.select("o_orderkey"), "o_orderkey", "left_anti")
+    removed = v1.join(v2.select("o_orderkey"), "o_orderkey", "left_anti")
+    changed = v1.alias("a").join(v2.alias("b"), "o_orderkey").filter(
+        (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    return (
+        count_as("added", added)
+        .unionByName(count_as("removed", removed))
+        .unionByName(count_as("changed", changed))
+    )
