@@ -130,6 +130,8 @@ HEADLINE = [
     "hybrid_rrf_search",
     "bpe_pair_counts",
     "snapshot_diff_orders",
+    "audience_overlap_events",
+    "contiguous_ids_documents",
 ]
 
 

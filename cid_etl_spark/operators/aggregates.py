@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def decimal_sum(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
@@ -131,3 +132,46 @@ def observed_quality(df: DataFrame, name: str, *null_cols: str):
     if missing_pred is not None:
         metrics.append(count_if(missing_pred).alias("missing"))
     return df.observe(obs, *metrics), obs
+
+
+def assign_contiguous_ids(
+    df: DataFrame, key: str, n_buckets: int = 1024, id_col: str = "row_id"
+) -> DataFrame:
+    """Assign dense 0..N-1 ids in *key* order — the scalable
+    ``zipWithIndex``: ``monotonically_increasing_id`` leaves gaps and a
+    global ``row_number()`` window funnels every row through ONE
+    partition.  Here the fact shuffles once on a range bucket of the
+    key: per-bucket counts (a *n_buckets*-row aggregate) turn into
+    cumulative offsets with a window over that tiny table, broadcast
+    back, and each row's id is its bucket offset plus its rank within
+    the bucket.  Bucket boundaries are monotone in *key*, so the result
+    equals the single-partition global row_number exactly.
+    """
+    kc = F.col(key)
+    bounds = df.agg(
+        F.min(kc).cast("double").alias("__lo"), F.max(kc).cast("double").alias("__hi")
+    )
+    b = df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (kc.cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("__lo", "__hi")
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(key)
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(id_col, F.col("__offset") + F.row_number().over(w_in) - 1)
+        .drop("__bucket", "__offset")
+    )

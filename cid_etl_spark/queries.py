@@ -4961,3 +4961,91 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_as("removed", removed))
         .unionByName(count_as("changed", changed))
     )
+
+
+@_register(
+    "audience_overlap_events",
+    """
+    WITH m AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair, from ONE distinct membership table —
+    the self-join keys on user_id so pair blowup is bounded by each
+    user's distinct types (≤5), never users².  Set sizes ride back in
+    as a group-count broadcast; the same plan computes segment overlap
+    on billions of users, and swapping the exact counts for HLL
+    sketches (hll_daily_users_events) makes it streamable."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").repartition("user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@_register(
+    "contiguous_ids_documents",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def contiguous_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 id assignment in key order
+    (operators.aggregates.assign_contiguous_ids) — the scalable
+    zipWithIndex: range-bucket the key, per-bucket counts become
+    cumulative offsets over a bucket-count-sized window, offsets
+    broadcast back, id = offset + within-bucket rank.  The oracle is
+    the single-partition global row_number the distributed form must
+    equal exactly; the distributed form never funnels the fact through
+    one partition."""
+    from cid_etl_spark.operators.aggregates import assign_contiguous_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_contiguous_ids(d, "doc_id", n_buckets=64)
+    return out.select("doc_id", F.col("row_id").cast("bigint"))
