@@ -132,6 +132,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "audience_overlap_events",
     "contiguous_ids_documents",
+    "revenue_share_within_region",
 ]
 
 

@@ -5049,3 +5049,48 @@ def contiguous_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     out = assign_contiguous_ids(d, "doc_id", n_buckets=64)
     return out.select("doc_id", F.col("row_id").cast("bigint"))
+
+
+@_register(
+    "revenue_share_within_region",
+    """
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS balance
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, balance,
+           round(balance / sum(balance) OVER (PARTITION BY r_name), 6)
+             AS region_share
+    FROM rev
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION total, via a
+    group-partitioned window over the already-aggregated rollup — the
+    window sees 25 rows however large the fact, so percent-of-parent
+    costs nothing beyond the rollup itself.  Shares divide the same
+    rounded decimals in both engines, so the quotient is
+    bit-reproducible."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(money(decimal_sum("c_acctbal")).alias("balance"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "balance",
+        F.round(F.col("balance") / F.sum("balance").over(w), 6).alias(
+            "region_share"
+        ),
+    )
