@@ -2,9 +2,16 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line as the final stdout line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {<slowest few>}, "sf": <sf>, "n_queries": N,
+   "detail": "BENCH_DETAIL.json", "regressions": [...]}
+
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+file (a 113-query dict made the stdout line so long the driver's tail
+window truncated its head and failed to parse it — round-1 lesson).
+The summary also diffs per-query times against BASELINE.md's table and
+lists any query slower than REGRESSION_RATIO x its baseline.
 
 Each query is fully materialized via the noop sink (count() can skip
 work; noop writes every row).  A warmup query amortizes JVM/codegen
@@ -15,8 +22,29 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
+
+#: Flag a query when current_sec > REGRESSION_RATIO * baseline_sec
+#: (and the delta is non-trivial in absolute terms).
+REGRESSION_RATIO = 1.5
+_MIN_REGRESSION_ABS_SEC = 0.3
+
+
+def load_baseline(path: str) -> dict[str, float]:
+    """Per-query baseline seconds from BASELINE.md's
+    ``| query | sf | sec | config |`` table (empty dict if absent)."""
+    out: dict[str, float] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|", line)
+                if m:
+                    out[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return out
 
 HEADLINE = [
     "pricing_summary",
@@ -182,14 +210,49 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"))
+    regressions = sorted(
+        (
+            {"query": n, "sec": t, "baseline_sec": baseline[n],
+             "ratio": round(t / baseline[n], 2)}
+            for n, t in timings.items()
+            if n in baseline
+            and baseline[n] > 0
+            and t > REGRESSION_RATIO * baseline[n]
+            and t - baseline[n] > _MIN_REGRESSION_ABS_SEC
+        ),
+        key=lambda r: -r["ratio"],
+    )
+
+    detail = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "regressions": regressions,
+    }
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Final stdout line stays SHORT so the driver's tail window can
+    # parse it: totals + the slowest handful, full map in the sidecar.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:6])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "regressions": [r["query"] for r in regressions[:8]],
             }
         )
     )

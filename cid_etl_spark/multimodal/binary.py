@@ -162,7 +162,9 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, int, str]:
     from the payload bytes.  Replace with soundfile/ffmpeg probing for
     real data; the mapInPandas plumbing is already production-shaped.
     """
-    if payload is None or len(payload) == 0:
+    if payload is None or len(payload) < 2:
+        # the stub indexes payload[0] and payload[1]; a 0/1-byte payload
+        # is not a decodable header either way
         raise NotImplementedError(
             "real audio decode requires an audio library not present "
             "in this environment"

@@ -289,15 +289,35 @@ def stream_dedup_ingest(
     write order (admitted first, then catalog append) makes replays
     safe: a re-run batch re-admits the same rows idempotently via
     dynamic partition overwrite on (run token, batch id) — the token is
-    fixed per query run, so checkpoint replays rewrite their own
-    partition while a NEW ingest query appends fresh partitions.
+    derived from the CHECKPOINT LOCATION, so a restart of the same
+    query (same checkpoint) replays into the very partition its failed
+    attempt wrote, while a new ingest query (new checkpoint) appends
+    fresh partitions.  (A uuid-per-call token would break exactly the
+    crash-replay case the partitioning exists for: the replayed batch
+    would land in a fresh partition next to the orphan.)
     """
-    import os
-    import uuid
+    import hashlib
 
-    run_token = uuid.uuid4().hex[:12]
+    token_src = checkpoint_dir if checkpoint_dir else f"{catalog_dir}|{admitted_dir}"
+    run_token = hashlib.md5(token_src.encode()).hexdigest()[:12]
 
     from pyspark.sql.window import Window as W
+
+    def _catalog_exists(spark: SparkSession, path: str) -> bool:
+        # Probe through the Hadoop FileSystem API so s3://, hdfs:// and
+        # local paths all behave; a driver-side os.walk only sees the
+        # local filesystem.
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(conf)
+        if not fs.exists(hpath):
+            return False
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") or name.startswith("part-"):
+                return True
+        return False
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -310,18 +330,16 @@ def stream_dedup_ingest(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.isdir(catalog_dir) and any(
-            f.endswith(".parquet") or f.startswith("part-")
-            for _r, _d, fs in os.walk(catalog_dir)
-            for f in fs
-        ):
+        if _catalog_exists(spark, catalog_dir):
             catalog = spark.read.parquet(catalog_dir).select("__h").distinct()
             hashed = hashed.join(catalog, "__h", "left_anti")
         admitted = hashed.persist()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             admitted.withColumn("__batch", F.lit(f"{run_token}-{batch_id}"))
             .write.mode("overwrite")
+            # scoped to THIS writer — session-level conf would silently
+            # flip every later overwrite in the session to dynamic mode
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(admitted_dir)
         )
