@@ -331,14 +331,19 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their *nprobe* nearest
     k-means cells; exact cosine + window top-k inside the probed cells.
 
     ``nprobe == n_cells`` degenerates to exact brute force (the unit
-    tests assert this); recall/latency trades off through *nprobe*.
-    Unlike hyperplane LSH, cell population adapts to the data
-    distribution, so skewed corpora don't collapse into one bucket.
+    tests assert this, and ``cosine_topk_ivf_fullprobe`` turns it into
+    a driver-checked oracle row); recall/latency trades off through
+    *nprobe*.  Unlike hyperplane LSH, cell population adapts to the
+    data distribution, so skewed corpora don't collapse into one
+    bucket.  *round_digits* rounds the similarity BEFORE the top-k
+    window (set it when an oracle ranks on rounded values, so float
+    ulps can't flip the order between engines).
     """
     assigned, centroids = ivf_assign_cells(
         corpus, n_cells=n_cells, seed=seed, vec_col=vec_col
@@ -350,10 +355,13 @@ def cosine_topk_ivf(
             "__cell"
         ),
     )
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     joined = assigned.join(F.broadcast(probed), "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

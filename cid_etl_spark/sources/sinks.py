@@ -32,11 +32,21 @@ def write_csv(
     quote_all: bool = True,
     header: bool = True,
     mode: str = "overwrite",
+    encoding: str = "UTF-8",
 ) -> None:
-    """Partitioned (scalable) CSV sink — one part per task."""
+    """Partitioned (scalable) CSV sink — one part per task.
+
+    *encoding* feeds Spark's writer charset (use ``iso-8859-1`` for
+    latin1 exports mirroring the official DataSUS dialect; Spark 4
+    rejects the ``latin1`` alias)."""
     (
         df.write.mode(mode)
-        .options(sep=sep, quoteAll=str(quote_all).lower(), header=str(header).lower())
+        .options(
+            sep=sep,
+            quoteAll=str(quote_all).lower(),
+            header=str(header).lower(),
+            encoding=encoding,
+        )
         .csv(path)
     )
 
