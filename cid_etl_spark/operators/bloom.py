@@ -18,10 +18,11 @@ Implementation notes
   (Kirsch–Mitzenmacher: pos_i = h1 + i*h2 mod m), vectorized in numpy
   over Arrow batches — identical code runs on build and probe, so there
   are NO false negatives by construction.
-- Build is distributed: ``mapInPandas`` emits each key's k bit
-  positions, ``distinct()`` collapses them (bounded by m, not by key
-  count), and only the distinct positions reach the driver where the
-  packed bitmap is assembled and broadcast.
+- Build is distributed end-to-end: each input partition packs its own
+  m-bit bitmap inside ``mapInPandas`` (vectorized position scatter),
+  and the per-partition bitmaps are OR-merged by a ``treeReduce`` —
+  the driver receives exactly ONE m-bit bitmap, never positions, so
+  the build cost at the driver is O(m) regardless of key count.
 - Keys must be integral (int32/int64).  String keys should be
   pre-hashed to int64 with ``F.xxhash64`` on BOTH sides first.
 """
@@ -91,30 +92,42 @@ def optimal_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
 def build_bloom(
     keys: DataFrame, key_col: str, n_keys: int | None = None, fpp: float = 0.01
 ) -> BloomFilter:
-    """Distributed build: executors emit bit positions, the driver only
-    sees ``distinct`` positions (≤ m values) and packs the bitmap."""
+    """Distributed build with no positions collect: every partition
+    packs a local m-bit bitmap (one vectorized scatter per Arrow
+    batch), and partition bitmaps are OR-merged by ``treeReduce`` so
+    the merge work happens in the cluster and the driver receives one
+    bitmap of exactly ``m/8`` bytes — independent of key count."""
     if n_keys is None:
         n_keys = keys.count()
     m, k = optimal_params(n_keys, fpp)
+    nbytes = m // 8
 
     def emit(batches):
+        bitmap = None
         for pdf in batches:
             vals = pdf[key_col].dropna().to_numpy()
             if len(vals) == 0:
                 continue
-            pos = np.unique(_positions(vals, m, k))
-            yield pd.DataFrame({"pos": pos.astype("int64")})
+            if bitmap is None:
+                bitmap = np.zeros(nbytes, dtype=np.uint8)
+            pos = _positions(vals, m, k).ravel()
+            np.bitwise_or.at(
+                bitmap,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+            )
+        if bitmap is not None:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    # no distinct() before collect: per-partition np.unique already
-    # deduped within tasks, and a driver-side unique over ≤ n_keys·k
-    # ints beats paying a whole shuffle stage for it.  (At 10⁹ keys,
-    # swap the collect for a treeAggregate of partition bitmaps.)
-    pos_rows = keys.select(key_col).mapInPandas(emit, "pos long").collect()
-    bitmap = np.zeros(m // 8, dtype=np.uint8)
-    if pos_rows:
-        pos = np.unique(np.array([r["pos"] for r in pos_rows], dtype=np.uint64))
-        np.bitwise_or.at(bitmap, (pos >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    parts = (
+        keys.select(key_col)
+        .mapInPandas(emit, "bm binary")
+        .rdd.map(lambda r: np.frombuffer(bytes(r["bm"]), dtype=np.uint8))
+    )
+    try:
+        bitmap = parts.treeReduce(np.bitwise_or, depth=2)
+    except ValueError:  # empty key set: no partition emitted a bitmap
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
     return BloomFilter(bits=bitmap.tobytes(), m=m, k=k)
 
 

@@ -193,10 +193,13 @@ def exact_cosine_pairs_blocked(
     either norm is zero.  Emits ``(id_a, id_b, cosine)`` with
     ``id_a < id_b``.
 
-    Scale path: exact all-pairs is O(N²) by nature — at corpus scale
-    run it per LSH/IVF block or on samples (the broadcast side is the
-    bound: ~1 GB per million 256-dim float64 vectors); the blocked
-    matmul shape is unchanged, only the right-side slice shrinks.
+    TEST/BASELINE ONLY: the right side is collected to the driver, so
+    the broadcast is the bound (~1 GB per million 256-dim float64
+    vectors).  Every registered query's default path goes through
+    :func:`exact_cosine_pairs_distributed` instead, which computes the
+    identical result with no driver collect; this variant remains the
+    simplest possible oracle for the unit tests to cross-check both
+    against.
     """
     import numpy as np
 
@@ -233,6 +236,118 @@ def exact_cosine_pairs_blocked(
                 )
 
     return df.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+
+
+def exact_cosine_pairs_distributed(
+    df: DataFrame,
+    threshold: float = 0.45,
+    round_digits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine with NO driver collect: the fully
+    distributed form of :func:`exact_cosine_pairs_blocked` (same
+    output, bit-for-bit).
+
+    Vectors are hash-assigned to *n_blocks* blocks; every unordered
+    block pair ``(i, j), i <= j`` becomes one shuffle group, and each
+    row replicates to the *n_blocks* groups it participates in (one
+    ``explode`` — no self-join of the full table).  Inside a group an
+    Arrow batch holds just the two blocks, numpy matmuls them, and the
+    upper triangle (``id_a < id_b``) survives the threshold.
+
+    Scale accounting: shuffle volume is ``N x n_blocks`` rows and peak
+    executor state is ``2N / n_blocks`` vectors, so *n_blocks* trades
+    shuffle for memory — at 1M x 256-dim float64, ``n_blocks=32``
+    bounds a group under ~130 MB.  The O(N²) multiply itself is the
+    price of EXACTNESS and spreads over ``n_blocks·(n_blocks+1)/2``
+    independent tasks; the sub-quadratic path for corpus scale remains
+    :func:`semantic_dedup` / LSH blocking.  Arithmetic mirrors the SQL
+    oracle exactly: float64 ``dot/(na·nb)``, rounded before the
+    threshold, zero when either norm is zero.
+    """
+    import numpy as np
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_field}, id_b {id_field}, cosine double"
+
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__b"),
+    )
+    # one row per (row, partner block): group key is the unordered pair
+    replicated = base.select(
+        id_col,
+        vec_col,
+        "__b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__o"),
+    ).select(
+        id_col,
+        vec_col,
+        "__b",
+        F.least("__b", "__o").alias("__gi"),
+        F.greatest("__b", "__o").alias("__gj"),
+    )
+    # no dedup needed: for a row in block b, each partner o maps to a
+    # distinct (gi, gj) — the row lands in each of its n_blocks groups
+    # exactly once
+
+    def pair_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+        norms = np.linalg.norm(mat, axis=1)
+        if gi == gj:  # diagonal group: within-block upper triangle
+            a_ids, a_mat, a_norms = ids, mat, norms
+            b_ids, b_mat, b_norms = ids, mat, norms
+        else:
+            left = pdf["__b"].to_numpy() == gi
+            a_ids, a_mat, a_norms = ids[left], mat[left], norms[left]
+            b_ids, b_mat, b_norms = ids[~left], mat[~left], norms[~left]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=ids.dtype),
+                    "id_b": np.array([], dtype=ids.dtype),
+                    "cosine": np.array([], dtype="float64"),
+                }
+            )
+        denom = np.outer(a_norms, b_norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (a_mat @ b_mat.T) / denom, 0.0)
+        cos = np.round(cos, round_digits)
+        keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        ai, bi = np.nonzero(keep)
+        out = pd.DataFrame(
+            {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": cos[ai, bi]}
+        )
+        if gi != gj:
+            # cross-block pairs can have id_a in either block; the
+            # a<b mask above only caught left-side-smaller — add the
+            # right-side-smaller orientation
+            keep2 = (cos >= threshold) & (a_ids[:, None] > b_ids[None, :])
+            ai2, bi2 = np.nonzero(keep2)
+            if len(ai2):
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "id_a": b_ids[bi2],
+                                "id_b": a_ids[ai2],
+                                "cosine": cos[ai2, bi2],
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+        return out
+
+    return replicated.groupBy("__gi", "__gj").applyInPandas(
+        pair_block, schema=out_schema
+    )
 
 
 def ivf_assign_cells(
@@ -433,10 +548,11 @@ def semantic_dedup_exact(
 ) -> DataFrame:
     """Exact global variant of :func:`semantic_dedup` (drop a row iff
     ANY lower-id row anywhere has cosine ≥ threshold), built on the
-    blocked-matmul exact pair list.  O(N²) — the correctness baseline
-    the celled variant is judged against, and SQL-expressible so it
-    carries the DuckDB oracle."""
-    pairs = exact_cosine_pairs_blocked(
+    fully distributed exact pair list (no driver collect anywhere on
+    this path).  O(N²) compute — the correctness baseline the celled
+    variant is judged against, and SQL-expressible so it carries the
+    DuckDB oracle."""
+    pairs = exact_cosine_pairs_distributed(
         corpus, threshold=threshold, round_digits=round_digits,
         id_col=id_col, vec_col=vec_col,
     )

@@ -1583,13 +1583,16 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (full pairwise cosine) — the
     oracle-checked twin of the LSH-blocked embedding_neardup: same
     contract, O(N²) cost, the correctness baseline LSH recall is judged
-    against.  Computed as an Arrow-batched blocked matmul
-    (operators.similarity.exact_cosine_pairs_blocked); at corpus scale
-    run it per LSH/IVF block or on samples, never the full corpus."""
-    from cid_etl_spark.operators.similarity import exact_cosine_pairs_blocked
+    against.  Computed fully distributed (no driver collect): vectors
+    hash into blocks, each unordered block pair is one shuffle group,
+    per-group Arrow matmul (operators.similarity.
+    exact_cosine_pairs_distributed — executor state bounded by
+    2N/n_blocks).  At corpus scale run it per LSH/IVF block or on
+    samples, never the full corpus."""
+    from cid_etl_spark.operators.similarity import exact_cosine_pairs_distributed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return exact_cosine_pairs_blocked(emb, threshold=0.45, round_digits=4)
+    return exact_cosine_pairs_distributed(emb, threshold=0.45, round_digits=4)
 
 
 @_register(

@@ -153,3 +153,44 @@ def test_semantic_dedup_celled_drops_are_justified(spark):
     # a celled drop must be justified by a real lower-id near-dup
     justified = {r["id_b"] for r in exact_cosine_pairs_blocked(emb, 0.45).collect()}
     assert dropped <= justified
+
+
+def test_exact_pairs_distributed_equals_blocked(spark):
+    """The no-collect block-pair form must reproduce the broadcast
+    baseline bit-for-bit (ids and rounded cosines), including rows
+    hashing into the same block (diagonal groups) and zero-norm
+    vectors."""
+    from cid_etl_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        exact_cosine_pairs_distributed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ref = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in exact_cosine_pairs_blocked(emb, threshold=0.3).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in exact_cosine_pairs_distributed(
+                emb, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == ref, f"n_blocks={n_blocks}: {len(got)} vs {len(ref)} pairs"
+
+
+def test_exact_pairs_distributed_zero_norm(spark):
+    rows = [
+        (1, [0.0, 0.0]),  # zero norm: cosine defined as 0 vs anything
+        (2, [1.0, 0.0]),
+        (3, [1.0, 0.0]),
+    ]
+    from cid_etl_spark.operators.similarity import exact_cosine_pairs_distributed
+
+    df = _vecs(spark, rows)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in exact_cosine_pairs_distributed(df, threshold=0.5, n_blocks=2).collect()
+    }
+    assert pairs == {(2, 3): 1.0}
