@@ -161,6 +161,14 @@ HEADLINE = [
     "audience_overlap_events",
     "contiguous_ids_documents",
     "revenue_share_within_region",
+    # round 2 additions
+    "csv_sink_roundtrip",
+    "csv_dialect_latin1_scan",
+    "cid_pipeline_golden",
+    "cosine_topk_ivf_fullprobe",
+    "cosine_topk_lsh_probeall",
+    "interval_overlap_shipments",
+    "weighted_sample_documents",
 ]
 
 

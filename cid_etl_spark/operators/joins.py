@@ -121,6 +121,62 @@ def range_join_bucketed(
     return out.drop("__fb", "__bucket")
 
 
+def interval_overlap_join_bucketed(
+    left: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    right: DataFrame,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``l_lo <= r_hi AND r_lo <=
+    l_hi``) as an equi join on a derived bucket key — the big-big
+    companion to :func:`range_join_bucketed`, which handles only
+    point-in-interval.
+
+    Both sides replicate each interval to every width-*bucket_width*
+    bucket it touches (explode of a small ``sequence``), the join
+    becomes ``bucket == bucket AND overlap``, and Catalyst gets a
+    shuffle-hash/broadcast path instead of the nested loop a raw theta
+    join forces.  Two overlapping intervals share every bucket of
+    their intersection, so each qualifying pair would match once per
+    shared bucket; the pair is emitted only in the FIRST shared bucket
+    (``max(first_bucket(l), first_bucket(r))``), which exists exactly
+    when they overlap — no dedup shuffle.
+
+    Pick *bucket_width* near the median interval width: replication is
+    ``1 + width/bucket_width`` per side.  Interval bound columns must
+    be numeric (cast dates to epoch days first).
+    """
+    w = float(bucket_width)
+
+    def replicate(df: DataFrame, lo: str, hi: str, bucket: str) -> DataFrame:
+        return df.withColumn(
+            bucket,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+
+    lrep = replicate(left, l_lo, l_hi, "__bl")
+    rrep = replicate(right, r_lo, r_hi, "__br")
+    first_shared = F.greatest(
+        F.floor(F.col(l_lo) / w).cast("long"),
+        F.floor(F.col(r_lo) / w).cast("long"),
+    )
+    pred = (
+        (F.col("__bl") == F.col("__br"))
+        & (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (F.col("__bl") == first_shared)
+    )
+    return lrep.join(rrep, pred, "inner").drop("__bl", "__br")
+
+
 def coalesce_columns(df: DataFrame, target: str, preferred: str, fallback: str) -> DataFrame:
     """J8 — two-source column preference: ``target = coalesce(preferred,
     fallback)``, dropping the inputs (replaces pandas suffix+fillna,

@@ -105,27 +105,51 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    multiprobe: int = 0,
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's LSH bucket (plus, with
+    *multiprobe* = h > 0, every bucket within Hamming distance h of
+    its signature — the standard multi-probe recall lever: neighbors
+    that flipped a few hyperplane signs live in nearby buckets, so
+    probing sum_{i<=h} C(bits, i) buckets buys recall without
+    re-hashing or duplicating the corpus).
 
     The corpus is signed once (narrow map — at scale, persist the
     signed corpus bucketed by signature); each query joins to its
-    bucket, then exact cosine + top-k within the bucket.  Recall < 1.0
-    by construction; raise recall with fewer bits or multi-probe.
+    probe bucket(s), then exact cosine + top-k within them.
+    ``multiprobe == bits`` probes every bucket and therefore equals
+    exact brute force — the oracle anchor for the whole path
+    (``cosine_topk_lsh_probeall``).  *round_digits* rounds the
+    similarity before ranking for cross-engine oracle stability.
     """
     signed_corpus = corpus.withColumn(
         "__bucket", random_hyperplane_signature(vec_col, dim, bits, seed)
     )
-    signed_queries = queries.withColumn(
-        "__bucket", random_hyperplane_signature(query_vec_col, dim, bits, seed)
+    # probe masks: all signature perturbations within hamming<=h,
+    # enumerated once at the driver (sum C(bits,i) ints, tiny)
+    masks = [m for m in range(1 << bits) if bin(m).count("1") <= multiprobe]
+    signed_queries = (
+        queries.withColumn(
+            "__sig", random_hyperplane_signature(query_vec_col, dim, bits, seed)
+        )
+        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("__sig").bitwiseXOR(F.col("__m")).alias("__bucket"),
+        )
     )
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     joined = signed_corpus.join(
         F.broadcast(signed_queries.select(query_id_col, query_vec_col, "__bucket")),
         "__bucket",
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -119,7 +119,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "loyal_customers_by_nation", "heavy_hitters_parts",
     "flatten_props_udtf", "cosine_topk_ivf_fullprobe",
     "approx_distinct_users", "approx_percentile_lineitem",
-    "hll_daily_users_events", "variant_props_stats",
+    "hll_daily_users_events", "cosine_topk_lsh_probeall",
     "media_image_features", "media_audio_features",
     "embedding_outliers_by_label",
 )
@@ -5652,3 +5652,154 @@ def cosine_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, queries, k=3, n_cells=8, nprobe=8, round_digits=4
     )
+
+
+@_register(
+    "cosine_topk_lsh_probeall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(c.v, q.qv), 4) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cosine
+    FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) <= 3
+    """,
+)
+def cosine_topk_lsh_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH machinery under a hard oracle: multiprobe ==
+    bits probes every bucket (all Hamming perturbations of the query
+    signature), so signing, bucket join, and top-k window together must
+    reproduce EXACT brute force, recomputed independently by a DuckDB
+    cross join.  The pruned variant (``cosine_topk_lsh``, multiprobe=0)
+    stays rows-only since its recall is approximate by design; this row
+    plus the recall unit tests bound it from both sides."""
+    from cid_etl_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(
+        emb, queries, dim=64, k=3, bits=4, multiprobe=4, round_digits=4
+    )
+
+
+@_register(
+    "interval_overlap_shipments",
+    """
+    WITH ships AS (
+        SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS s_lo,
+               CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+                 + 1 + CAST(l_quantity AS BIGINT) % 14 AS s_hi,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    wins AS (
+        SELECT o_orderkey,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS w_lo,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 14 AS w_hi
+        FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM wins JOIN ships
+      ON w_lo <= s_hi AND s_lo <= w_hi
+    GROUP BY o_orderkey
+    """,
+)
+def interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join at fact scale
+    (operators.joins.interval_overlap_join_bucketed): shipment
+    in-transit windows [shipdate, shipdate + 1 + qty % 14 days]
+    against 14-day order-audit windows, counted per window.
+
+    The raw theta join (two inequality predicates) would force a
+    nested-loop/cartesian plan; bucketing the day line into 14-day
+    buckets and replicating each interval to the buckets it touches
+    (≤ 2 copies per side here) restores an equi-join shuffle, with
+    the first-shared-bucket guard replacing a dedup pass.  DuckDB
+    recomputes the overlap join naively as the oracle."""
+    from cid_etl_spark.operators.joins import interval_overlap_join_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    day = lambda c: F.floor(  # noqa: E731 - local shorthand
+        F.col(c).cast("timestamp_ltz").cast("long") / 86400
+    ).cast("long")
+    ships = li.select(
+        day("l_shipdate").alias("s_lo"),
+        (day("l_shipdate") + 1 + F.col("l_quantity").cast("long") % 14).alias(
+            "s_hi"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wins = od.filter(F.col("o_orderkey") % 199 == 0).select(
+        "o_orderkey",
+        day("o_orderdate").alias("w_lo"),
+        (day("o_orderdate") + 14).alias("w_hi"),
+    )
+    joined = interval_overlap_join_bucketed(
+        wins, "w_lo", "w_hi", ships, "s_lo", "s_hi", bucket_width=14
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )
+
+
+@_register(
+    "weighted_sample_documents",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                   n_chars / -ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            ::BIGINT + 0.5)
+                       / 1152921504606846976.0
+                   ),
+                   6
+               ) AS samp_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, samp_key
+    FROM keyed
+    ORDER BY samp_key DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from an md5-prefix
+    of its id and ranks by the exponential-race key ``w / -ln(u)`` (a
+    monotone form of the classic ``u^(1/w)``); the global top-k IS an
+    exact weighted sample without replacement.
+
+    Scale shape: one narrow expression pass + ``orderBy().limit(k)``
+    → TakeOrderedAndProject (per-partition heaps merged at the
+    driver, k rows each) — no global sort, no shuffle of the corpus.
+    The hash-derived uniform replaces an RNG so the sample is
+    reproducible and the DuckDB twin recomputes it exactly; the key is
+    rounded before ranking (repo convention) with doc_id tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("n_chars") / -F.log(u), 6).alias("samp_key"),
+    )
+    return keyed.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(100)

@@ -194,3 +194,29 @@ def test_exact_pairs_distributed_zero_norm(spark):
         for r in exact_cosine_pairs_distributed(df, threshold=0.5, n_blocks=2).collect()
     }
     assert pairs == {(2, 3): 1.0}
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Probing more buckets can only add candidates: recall vs the
+    exact top-k is monotone in the multiprobe radius, and radius==bits
+    is exactly brute force."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, qs, k=3).collect()
+    }
+    last = -1.0
+    for h in (0, 1, 4):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in cosine_topk_lsh(
+                emb, qs, dim=64, k=3, bits=4, multiprobe=h
+            ).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= last, f"recall dropped at h={h}"
+        last = recall
+    assert last == 1.0  # full probe == brute force
