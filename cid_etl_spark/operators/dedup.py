@@ -123,21 +123,33 @@ def shingles(text: Column | str, n: int = 5, words: bool = True) -> Column:
     return F.array_distinct(grams)
 
 
+def md5_base_hash(s: Column) -> Column:
+    """28-bit shingle hash from an md5 prefix — slower than xxhash64
+    but reproducible in any engine with md5 (DuckDB oracle parity:
+    ``('0x' || substr(md5(g), 1, 7))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signature(
     shingle_arr: Column,
     num_hashes: int = 64,
     seed: int = 42,
+    base_hash=None,
 ) -> Column:
     """MinHash signature as an ``array<bigint>`` of length *num_hashes*.
 
     Base shingle hash is ``xxhash64`` truncated to 31 bits (JVM-side,
-    deterministic); each permutation is a universal hash
+    deterministic) unless *base_hash* (Column→Column) overrides it —
+    pass :func:`md5_base_hash` when an external engine must replay the
+    signature bit-for-bit; each permutation is a universal hash
     ``(a*h + b) mod 2^31-1`` evaluated with ``F.transform`` /
     ``F.array_min`` — all codegen, no Python in the row path.
     """
-    base = F.transform(
-        shingle_arr, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31).cast("bigint"))
-    )
+    if base_hash is None:
+        base_hash = lambda s: F.xxhash64(s).bitwiseAND(  # noqa: E731
+            F.lit(_MERSENNE_31).cast("bigint")
+        )
+    base = F.transform(shingle_arr, base_hash)
     mins = [
         F.array_min(
             F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_31))
@@ -152,6 +164,7 @@ def lsh_candidate_pairs(
     id_col: str,
     signature_col: str,
     num_bands: int = 16,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate duplicate pairs
     ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -159,26 +172,29 @@ def lsh_candidate_pairs(
     Rows agreeing on ALL rows-per-band values within any band land in
     the same bucket; the self-join shuffles on the (band, bucket-hash)
     key only.  Output is distinct pairs — verify with
-    :func:`jaccard_similarity` downstream.
+    :func:`jaccard_similarity` downstream.  ``hash_buckets=False``
+    keeps the raw band-value string as the bucket key (byte-identical
+    across engines, for oracle replay) instead of xxhash64-ing it —
+    same candidate set modulo hash collisions, fatter shuffle key.
     """
     sig = F.col(signature_col)
     # bands as (band_index, hash of the band slice)
     rows_per_band = F.floor(F.size(sig) / num_bands).cast("int")
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.xxhash64(key) if hash_buckets else key
+
     banded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(num_bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
     left = banded.alias("l")

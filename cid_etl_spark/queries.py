@@ -4503,15 +4503,39 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
 
-@_register("ewma_user_values")
+@_register(
+    "ewma_user_values",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT user_id, event_id, ts, value, rn, value AS e FROM seq
+        WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+               0.7 * r.e + 0.3 * s.value
+        FROM rec r JOIN seq s
+          ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, round(e, 6) AS ewma FROM rec
+    """,
+)
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-user EWMA over event values
     (operators.timeseries.ewma_by_key): the recurrence is inherently
-    sequential so no SQL window (or DuckDB oracle) expresses it — one
-    shuffle groups each user's series, an Arrow grouped-map runs the
-    vectorized recurrence in-worker.  Rows-only here; exactness against
-    the sequential definition is pinned in
-    tests/test_timeseries_udtf_sketch.py."""
+    sequential so no SQL WINDOW expresses it — one shuffle groups each
+    user's series, an Arrow grouped-map runs the vectorized recurrence
+    in-worker.  A RECURSIVE CTE can replay it though (one iteration
+    per series step, all series advancing in lockstep), so the DuckDB
+    twin walks ``e_t = (1-a)·e_{t-1} + a·x_t`` in the same operand
+    order and the round-1 rows-only entry becomes a hard hash-checked
+    row.  Rounded to 6 digits on both sides; ties on ts broken by
+    event_id for an engine-independent order."""
     from cid_etl_spark.operators.timeseries import ewma_by_key
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -5803,3 +5827,188 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_chars") / -F.log(u), 6).alias("samp_key"),
     )
     return keyed.orderBy(F.desc("samp_key"), F.asc("doc_id")).limit(100)
+
+
+@_register(
+    "winnowing_fingerprints_verified",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               lower(trim(text)) AS t,
+               greatest(length(lower(trim(text))) - 8 + 1, 1) AS n_grams
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, n_grams + 1),
+                   i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+               ) AS grams,
+               greatest(n_grams - 4 + 1, 1) AS n_windows
+        FROM g
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, n_windows + 1),
+                       i -> list_min(list_slice(grams, i, i + 3))
+                   )
+               ) AS fp
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(length(fp) AS INTEGER) AS n_fps,
+           list_min(fp) AS min_fp,
+           list_max(fp) AS max_fp
+    FROM fps
+    """,
+)
+def winnowing_fingerprints_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) under a
+    hard oracle: same algorithm as functions.text.winnowing_fingerprints
+    (hash every 8-gram, keep the min hash of each 4-gram window, dedup)
+    but with an md5-prefix gram hash both engines can compute, so the
+    WHOLE pipeline — gram slicing, window minima, dedup — is replayed
+    independently by DuckDB.  Emitted as per-doc summary scalars
+    (count/min/max of the fingerprint set) to keep the comparison
+    array-order-free.  The xxhash64 variant (content_fingerprints)
+    stays the production-speed path; this row proves the algorithm."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    gram_hash = lambda s: (  # noqa: E731 - md5-prefix → bigint, both engines
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 8 + 1, F.lit(1))),
+        lambda i: gram_hash(t.substr(i, F.lit(8))),
+    )
+    n_windows = F.greatest(F.size(grams) - 4 + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(grams, i, 4)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+def _minhash_verified_sql(num_hashes: int = 16, num_bands: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of the md5-based MinHash pipeline: identical shingle
+    tokenization (proven by the ngram_jaccard oracle), identical
+    28-bit md5 base hash, the same LCG-derived universal-hash params
+    inlined as literals, band keys as raw value strings, and the same
+    exact-Jaccard verification."""
+    from cid_etl_spark.operators.dedup import _hash_params
+
+    m = (1 << 31) - 1
+    params = _hash_params(num_hashes, seed)
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {m})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = num_hashes // num_bands
+    bands = ",\n               ".join(
+        "("
+        + " || ',' || ".join(
+            f"m{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + f") AS b{b}"
+        for b in range(num_bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(num_bands))
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id, grams,
+             list_transform(grams,
+                            g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, grams,
+               {mins}
+      FROM hv
+    ),
+    banded AS (
+      SELECT doc_id, grams,
+               {bands}
+      FROM sig
+    )
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 4) AS jaccard
+    FROM banded a
+    JOIN banded b
+      ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                4) >= 0.2
+    """
+
+
+@_register("minhash_lsh_verified", _minhash_verified_sql())
+def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash+LSH pipeline under a hard oracle: word-3-gram
+    shingles → 16 universal-hash minima over an md5-prefix base hash
+    (operators.dedup.md5_base_hash — engine-replicable, unlike the
+    production path's xxhash64/siphash) → 4 raw-string band keys →
+    candidate pairs → exact-Jaccard verify ≥ 0.2.  DuckDB replays
+    every stage — shingling, the (a·h+b) mod 2³¹−1 permutations with
+    the same LCG-derived constants, banding, verification — so a
+    hash-match certifies the LSH machinery end-to-end, not just its
+    final filter.  The xxhash64-based minhash_lsh_pairs remains the
+    production-speed rows-only path."""
+    from cid_etl_spark.operators.dedup import (
+        jaccard_similarity,
+        lsh_candidate_pairs,
+        md5_base_hash,
+        minhash_signature,
+        shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id"), shingles("text", n=3).alias("__grams")
+    ).withColumn(
+        "__sig",
+        minhash_signature("__grams", num_hashes=16, seed=42, base_hash=md5_base_hash),
+    )
+    sh = sh.persist()
+    cands = lsh_candidate_pairs(
+        sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
+    )
+    g = sh.select(F.col("doc_id"), F.col("__grams"))
+    verified = (
+        cands.join(
+            g.select(F.col("doc_id").alias("id_a"), F.col("__grams").alias("__ga")),
+            "id_a",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("id_b"), F.col("__grams").alias("__gb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_similarity(F.col("__ga"), F.col("__gb")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return verified
