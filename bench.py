@@ -169,6 +169,9 @@ HEADLINE = [
     "cosine_topk_lsh_probeall",
     "interval_overlap_shipments",
     "weighted_sample_documents",
+    "minhash_lsh_verified",
+    "winnowing_fingerprints_verified",
+    "simhash_pairs_verified",
 ]
 
 

@@ -603,19 +603,27 @@ def simhash(text: Column | str, n: int = 3, bits: int = 64) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bits: int = 64,
+    base_hash=None,
 ) -> DataFrame:
     """SimHash fingerprints as ``(__id, __fp)`` via explode + codegen'd
     aggregate — the scale path (same rationale as
     :func:`minhash_signature_table`): per exploded feature row we take
     64 plain conditional sums (literal shift positions), which
     whole-stage-codegens and partially aggregates map-side; the
-    array-lambda formulation in :func:`simhash` is interpreted."""
+    array-lambda formulation in :func:`simhash` is interpreted.
+    *base_hash* (Column→Column) overrides the xxhash64 feature hash —
+    pass an md5-prefix hash (with ``bits<=60``) when an external
+    engine must replay the fingerprint bit-for-bit."""
     feats = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(text_col, n)).alias("__feat"),
     )
-    h = F.xxhash64("__feat")
+    h = base_hash(F.col("__feat")) if base_hash else F.xxhash64("__feat")
     one = F.lit(1).cast("bigint")
     aggs = [
         F.sum(F.shiftrightunsigned(h, i).bitwiseAND(one)).alias(f"b{i}")
@@ -644,20 +652,25 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     n: int = 3,
+    bits: int = 64,
+    signer=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole banding.
 
-    The 64-bit fingerprint is split into ``max_hamming + 1`` chunks:
-    two fingerprints within the Hamming budget MUST agree on at least
-    one chunk, so the self-join shuffles on (chunk_index, chunk_value)
-    only — never all-pairs — with guaranteed recall.  Smaller budgets
-    → wider chunks → fewer candidate collisions.
+    The *bits*-wide fingerprint is split into ``max_hamming + 1``
+    chunks: two fingerprints within the Hamming budget MUST agree on
+    at least one chunk, so the self-join shuffles on (chunk_index,
+    chunk_value) only — never all-pairs — with guaranteed recall.
+    Smaller budgets → wider chunks → fewer candidate collisions.
+    *signer* overrides the fingerprint stage (default: the Arrow
+    xxhash64 signer) — e.g. an md5-based :func:`simhash_table` for
+    engine-replicable fingerprints.
     """
     n_chunks = min(max_hamming + 1, 32)
-    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    fp = simhash_table_arrow(df, id_col, text_col, n).select(
-        F.col("__id"), F.col("__fp")
-    )
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    if signer is None:
+        signer = lambda d: simhash_table_arrow(d, id_col, text_col, n)  # noqa: E731
+    fp = signer(df).select(F.col("__id"), F.col("__fp"))
     # 16 bytes per document — materialize so the chunk self-join's two
     # sides and the Hamming verify all reuse it instead of re-scanning
     # the corpus (same rationale as minhash_dedup_pairs).
@@ -836,3 +849,10 @@ def simhash_table_arrow(
             )
 
     return prepped.mapInPandas(sign, schema=f"__id {id_field}, __fp bigint")
+
+
+def md5_base_hash_60(s):
+    """60-bit feature hash from an md5 prefix (SimHash variant of
+    :func:`md5_base_hash`): wide enough for bit votes, narrow enough
+    that ``1 << 59`` stays in BIGINT in every engine."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -6012,3 +6012,77 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.2)
     )
     return verified
+
+
+def _simhash_verified_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB twin of the md5-based SimHash pipeline: 60-bit md5-prefix
+    feature hashes, strict-majority bit votes, pigeonhole chunk
+    banding, Hamming verify — every stage replayed in SQL."""
+    n_chunks = max_hamming + 1
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    chunks = ",\n             ".join(
+        f"(fp >> {lo}) & {(1 << (hi - lo)) - 1} AS c{i}"
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:]))
+    )
+    chunk_match = " OR ".join(f"a.c{i} = b.c{i}" for i in range(n_chunks))
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             list_transform(grams,
+                            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hv
+      FROM sh
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, {bits}), j ->
+                 CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> j) & 1))
+                           > len(hv)
+                      THEN (1::BIGINT << j) ELSE 0 END)) AS fp
+      FROM hv
+    ),
+    chunked AS (
+      SELECT doc_id, fp,
+             {chunks}
+      FROM fps
+    )
+    SELECT DISTINCT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM chunked a
+    JOIN chunked b
+      ON a.doc_id < b.doc_id AND ({chunk_match})
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@_register("simhash_pairs_verified", _simhash_verified_sql())
+def simhash_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash pipeline under a hard oracle: word-3-gram features →
+    60-bit md5-prefix hashes (engine-replicable; the production path's
+    xxhash64/siphash stays in simhash_pairs) → strict-majority bit
+    votes → pigeonhole chunk banding → Hamming ≤ 3 verify.  DuckDB
+    replays fingerprinting, banding, and verification, so a hash-match
+    certifies the whole near-dup path including its guaranteed-recall
+    blocking."""
+    from cid_etl_spark.operators.dedup import (
+        md5_base_hash_60,
+        simhash_dedup_pairs,
+        simhash_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    signer = lambda df: simhash_table(  # noqa: E731
+        df, "doc_id", "text", n=3, bits=60, base_hash=md5_base_hash_60
+    )
+    pairs = simhash_dedup_pairs(
+        d, "doc_id", "text", max_hamming=3, n=3, bits=60, signer=signer
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int"))
