@@ -134,8 +134,33 @@ def main() -> int:
     print(json.dumps(summary))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "DRIVER_CHECK.json")
+    # merge into any prior run so partial (--names) passes extend the
+    # artifact instead of clobbering it
+    merged: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f).get("results", {})
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
+    ok = sum(
+        1 for v in merged.values()
+        if v.get("rows_match") and v.get("schema_match") and v.get("values_match")
+    )
+    totals = {
+        "pass": ok,
+        "rows_only": sum(1 for v in merged.values() if v.get("err") == "no_oracle"),
+        "fail": sum(
+            1 for v in merged.values()
+            if v.get("err") not in (None, "no_oracle")
+            or v.get("values_match") is False
+        ),
+        "checked": len(merged),
+        "sf": args.sf,
+    }
     with open(out, "w") as f:
-        json.dump({"summary": summary, "results": results}, f, indent=1)
+        json.dump({"summary": totals, "results": merged}, f, indent=1)
     spark.stop()
     return 0 if n_fail == 0 else 1
 
