@@ -172,6 +172,7 @@ HEADLINE = [
     "minhash_lsh_verified",
     "winnowing_fingerprints_verified",
     "simhash_pairs_verified",
+    "pagerank_copurchase",
 ]
 
 

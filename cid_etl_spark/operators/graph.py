@@ -181,3 +181,57 @@ def connected_components_star(
     roots = cur.select(F.col("b").alias("node"), F.col("b").alias("cluster_id"))
     members = cur.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
     return members.union(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, as a chain
+    of lazy join+aggregate rounds — no RDDs, no driver-side state
+    beyond the loop counter.
+
+    Nodes are the union of endpoints; ranks start uniform at 1/N and
+    each round recomputes ``rank(v) = (1-d)/N + d * Σ rank(u)/deg(u)``
+    over v's in-edges.  A FIXED iteration count (not a convergence
+    test) keeps the result deterministic and engine-replicable — the
+    DuckDB oracle unrolls the same rounds symbolically.  Nodes with no
+    out-edges would leak rank mass; callers with dangling nodes should
+    symmetrize or pre-trim (the co-purchase graph is symmetric, so
+    every node has out-degree ≥ 1).
+
+    Scale notes: each round is one shuffle (the groupBy on *dst*);
+    degrees and node count are computed once up front.  The lazy plan
+    grows linearly with rounds — at 10 iterations Catalyst handles it;
+    for 50+ rounds insert ``localCheckpoint()`` every ~10 to truncate
+    lineage, exactly as connected_components does per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degrees/nodes/edges are consumed every round: materialize once
+    e = e.join(deg, "src").persist()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks
