@@ -173,6 +173,8 @@ HEADLINE = [
     "winnowing_fingerprints_verified",
     "simhash_pairs_verified",
     "pagerank_copurchase",
+    "tpch_q7_nation_volume",
+    "tpch_q14_promo_effect",
 ]
 
 

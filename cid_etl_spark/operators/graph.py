@@ -204,16 +204,20 @@ def pagerank(
     every node has out-degree ≥ 1).
 
     Scale notes: each round is one shuffle (the groupBy on *dst*);
-    degrees and node count are computed once up front.  The lazy plan
-    grows linearly with rounds — at 10 iterations Catalyst handles it;
-    for 50+ rounds insert ``localCheckpoint()`` every ~10 to truncate
-    lineage, exactly as connected_components does per round.
+    edges+degrees and the node list are persisted once and reused by
+    every round, and ranks are ``localCheckpoint``-ed every
+    *checkpoint_every* rounds so the lazy plan (and with it the
+    scheduler's work per action) stays shallow instead of growing
+    linearly with the round count — the same lineage-truncation
+    discipline connected_components applies per round.
     """
+    checkpoint_every = 5
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # degrees/nodes/edges are consumed every round: materialize once
@@ -221,7 +225,7 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
@@ -234,4 +238,6 @@ def pagerank(
                 "rank"
             ),
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -5837,6 +5837,7 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                lower(trim(text)) AS t,
                greatest(length(lower(trim(text))) - 8 + 1, 1) AS n_grams
         FROM documents
+        WHERE doc_id % 10 = 0
     ),
     hashed AS (
         SELECT doc_id,
@@ -5873,8 +5874,13 @@ def winnowing_fingerprints_verified(spark: SparkSession, sf_dir: str) -> DataFra
     independently by DuckDB.  Emitted as per-doc summary scalars
     (count/min/max of the fingerprint set) to keep the comparison
     array-order-free.  The xxhash64 variant (content_fingerprints)
-    stays the production-speed path; this row proves the algorithm."""
-    d = load_table(spark, sf_dir, "documents")
+    stays the production-speed path; this row proves the algorithm.
+
+    Runs on a deterministic 10% document subset: the per-gram md5 is
+    ~30x costlier than xxhash64, and the verification surface needs
+    algorithm coverage, not corpus coverage — the fast path covers the
+    full corpus in content_fingerprints."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     t = F.lower(F.trim(F.col("text")))
     gram_hash = lambda s: (  # noqa: E731 - md5-prefix → bigint, both engines
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -6156,4 +6162,119 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, damping=0.85, iterations=10)
     return ranks.select(
         F.col("node").alias("l_partkey"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+@_register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping, adapted to the fixture schema): trade
+    volume between two nations by supplier-nation/customer-nation/year.
+    Plan shape: the two nation dims broadcast with their name filters
+    PUSHED (each side prunes to one key before the join), supplier and
+    customer broadcast under AQE at fixture scale, and the single wide
+    edge is lineitem ⋈ orders on orderkey — the disjunctive
+    nation-pair predicate costs nothing extra because it's evaluated
+    post-join on two broadcast columns.  Exact decimal revenue per the
+    repo money convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu.select("c_custkey", "c_nationkey")), od.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(money(F.sum(rev)).alias("revenue"))
+
+
+@_register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT CAST(strftime(l.l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           CAST(round(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                               ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS total_revenue,
+           round(CAST(round(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                               ELSE 0 END), 2) AS DOUBLE)
+                 / CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                 * 100, 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY ship_month
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect, adapted): share of revenue from
+    PROMO-type parts per ship month.  Part broadcasts (it's the dim);
+    the conditional revenue is one pass with a CASE inside the
+    decimal sum — no second join or scan.  The percentage divides the
+    two already-rounded doubles so both engines compute bit-identical
+    quotients (repo float convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(19,6)")
+    )
+    agg = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            money(F.sum(promo)).alias("promo_revenue"),
+            money(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.col("promo_revenue") / F.col("total_revenue") * 100, 6).alias(
+            "promo_pct"
+        ),
     )

@@ -246,3 +246,21 @@ def test_join_strategy_hints_are_honored(spark):
     bc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     plan_b = bc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b, plan_b
+
+
+def test_interval_overlap_never_nested_loop(spark):
+    # the whole point of the bucketed interval-overlap join: a raw
+    # two-inequality theta join would plan BNLJ/cartesian; the bucket
+    # equi key must keep it a hash join at any input size
+    plan = _plan(spark, "interval_overlap_shipments")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 1, plan
+
+
+def test_weighted_sample_is_heap_not_sort(spark):
+    # A-ES top-k must compile to TakeOrderedAndProject (distributed
+    # per-partition heaps), never a global Sort + Limit
+    plan = _plan(spark, "weighted_sample_documents")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
