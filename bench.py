@@ -175,6 +175,8 @@ HEADLINE = [
     "pagerank_copurchase",
     "tpch_q7_nation_volume",
     "tpch_q14_promo_effect",
+    "scd2_point_in_time_join",
+    "ohlc_user_hourly",
 ]
 
 

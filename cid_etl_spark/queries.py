@@ -6278,3 +6278,123 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_pct"
         ),
     )
+
+
+@_register(
+    "scd2_point_in_time_join",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate
+      FROM o
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+      QUALIFY row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+    ),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             o2.o_custkey AS custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.custkey,
+           p.o_orderpriority AS priority_at_ship
+    FROM f ASOF LEFT JOIN ch p
+      ON f.custkey = p.o_custkey AND f.l_shipdate >= p.o_orderdate
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup — the read side of the CDC story
+    (scd2_priority_history builds the intervals; this query consumes
+    them): every shipment looks up the ordering customer's priority
+    AS OF its ship date.
+
+    Implemented as a backward as-of join on the CHANGE POINTS
+    (operators.joins.asof_join: one hash shuffle on custkey + a
+    per-partition window sort) rather than an interval join against
+    [valid_from, valid_to) ranges — same semantics, no interval
+    explosion, and the open-ended current row needs no sentinel date.
+    Change points are deduped to one per (custkey, day) — last order
+    of the day wins — so the as-of survivor is deterministic in both
+    engines; DuckDB verifies with its native ASOF LEFT JOIN."""
+    from cid_etl_spark.operators.joins import asof_join
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        od.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("__prev"),
+        )
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("o_orderpriority")))
+    )
+    dayw = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    dim = (
+        changed.withColumn("__rn", F.row_number().over(dayw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderpriority").alias("priority_at_ship"),
+        )
+    )
+    facts = li.join(
+        od.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "custkey", "l_shipdate")
+    out = asof_join(
+        facts, dim, by="custkey", left_ts="l_shipdate", right_ts="valid_from"
+    )
+    return out.select("l_orderkey", "l_linenumber", "custkey", "priority_at_ship")
+
+
+@_register(
+    "ohlc_user_hourly",
+    """
+    SELECT user_id,
+           time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY user_id, bucket
+    """,
+)
+def ohlc_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars (the financial resample shape): per user and
+    hour, the opening/closing values by event time plus high/low/count
+    and an exact-decimal volume.  Open/close are single-pass
+    ``min_by``/``max_by`` with a (ts, event_id) tiebreak key — no
+    window, no self-join; the whole bar is ONE partial-aggregable
+    groupBy, so map-side combine does most of the work at scale.
+    DuckDB 1.0's arg_min/arg_max only take scalar keys, so both
+    engines rank on the same zero-padded ``epoch-event_id`` string
+    (lexicographic == numeric for fixed width)."""
+    ev = load_table(spark, sf_dir, "events")
+    tb = F.format_string(
+        "%020d-%012d",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")),
+        F.col("event_id"),
+    )
+    return ev.groupBy(
+        "user_id", F.window("ts", "1 hour").start.alias("bucket")
+    ).agg(
+        F.min_by("value", tb).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tb).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("volume"),
+    )
