@@ -76,3 +76,39 @@ def test_row_count_preserved(spark):
     left, right = _mk(spark)
     out = asof_join(left, right, by="k", left_ts="ts", right_ts="rts")
     assert out.count() == left.count()
+
+
+def test_interval_overlap_bucketed_equals_naive(spark):
+    """Property: the bucketed interval-overlap join must equal the
+    naive theta join exactly — including intervals spanning many
+    buckets, bucket-boundary endpoints, and same-block pairs."""
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.operators.joins import interval_overlap_join_bucketed
+
+    # deterministic pseudo-random intervals straddling bucket width 10
+    left = spark.range(60).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 37 % 97).alias("l_lo"),
+        (F.col("id") * 37 % 97 + F.col("id") * 13 % 23).alias("l_hi"),
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 53 % 89).alias("r_lo"),
+        (F.col("id") * 53 % 89 + F.col("id") * 7 % 31).alias("r_hi"),
+    )
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (F.col("l_lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("l_hi")),
+        ).collect()
+    }
+    for width in (1, 10, 50):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join_bucketed(
+                left, "l_lo", "l_hi", right, "r_lo", "r_hi", bucket_width=width
+            ).collect()
+        }
+        assert got == naive, f"width={width}: {len(got)} vs {len(naive)}"
