@@ -177,6 +177,8 @@ HEADLINE = [
     "tpch_q14_promo_effect",
     "scd2_point_in_time_join",
     "ohlc_user_hourly",
+    "purchase_click_attribution",
+    "media_video_frames",
 ]
 
 

@@ -6398,3 +6398,92 @@ def ohlc_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+@_register(
+    "purchase_click_attribution",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id,
+           p.user_id,
+           CAST(count(c.click_id) AS BIGINT) AS n_recent_clicks,
+           max(c.click_ts) AS last_click_ts
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+     AND c.click_ts <= p.purchase_ts
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join
+    (streaming.events.purchases_with_recent_click): every purchase
+    counts the same user's clicks in the preceding hour — identical
+    time-bounded join condition, so this row is the hard CORRECTNESS
+    anchor for the streaming operator (stream==batch parity is pinned
+    separately in tests/test_streaming.py).
+
+    Scale shape: user-keyed equi join with a residual time predicate —
+    the equi key bounds the match set per user, so no interval
+    replication is needed; one shuffle pair on user_id, then a
+    purchase-keyed rollup that reuses nothing wider than the join
+    output.  LEFT join keeps zero-click purchases (the streaming inner
+    form drops them; the batch report wants them visible)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").cast("bigint").alias("n_recent_clicks"),
+        F.max("click_ts").alias("last_click_ts"),
+    )
+
+
+@_register(
+    "media_video_frames",
+    """
+    WITH vid AS (
+        SELECT doc_id AS media_id, sha256(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           substr(h, CAST(i * 8 + 1 AS INTEGER), 4) AS frame_sig
+    FROM vid, LATERAL unnest(
+        range(0, greatest(length(h) // 8 - 1, 0) + 1)) t(i)
+    """,
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under a hard oracle — completes
+    the multimodal trio (image/audio features are already oracled):
+    one row per byte-stride 'frame' via posexplode
+    (multimodal.binary.sample_video_frames), with the frame signature
+    a payload slice the DuckDB twin replays over the sha256 hex chars.
+    The explode→per-frame shape is exactly how real frame extraction
+    fans out; only the codec is stubbed."""
+    from cid_etl_spark.multimodal.binary import attach_fake_media, sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(attach_fake_media(d, "doc_id", "doc_id"))
