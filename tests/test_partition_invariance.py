@@ -1,0 +1,53 @@
+"""Partition-count invariance: a distributed operator whose RESULT
+depends on ``spark.sql.shuffle.partitions`` is hiding a
+single-partition assumption (the bug class behind zipWithIndex-style
+id assignment, first()-based survivors, and unordered window frames).
+Representative shuffle-heavy queries must return identical rows under
+skewed-odd and cluster-like partition counts.
+
+``spark.sql.shuffle.partitions`` is runtime-settable, so one session
+serves all settings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cid_etl_spark.queries import spark_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = spark_queries()
+
+#: Queries chosen for partition-sensitive mechanics: window survivors,
+#: distributed id assignment, iterative convergence, grouped Arrow
+#: recurrences, banded self-joins, block-pair exact similarity.
+SENSITIVE = (
+    "priority_dedup_orders",
+    "contiguous_ids_documents",
+    "dedup_clusters_star",
+    "ewma_user_values",
+    "minhash_lsh_verified",
+    "embedding_neardup_exact",
+    "asof_prior_purchase",
+    "salted_agg_lineitem",
+    "pagerank_copurchase",
+)
+
+
+def _rows(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_partition_count(spark, name):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        odd = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        wide = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert odd == wide, f"{name}: result depends on shuffle partition count"
