@@ -179,6 +179,21 @@ HEADLINE = [
     "ohlc_user_hourly",
     "purchase_click_attribution",
     "media_video_frames",
+    # round 2 (cont.): TPC-H completion — full 22-query suite
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales",
 ]
 
 
