@@ -32,16 +32,21 @@ REGRESSION_RATIO = 1.5
 _MIN_REGRESSION_ABS_SEC = 0.3
 
 
-def load_baseline(path: str) -> dict[str, float]:
+def load_baseline(path: str, sf: str) -> dict[str, float]:
     """Per-query baseline seconds from BASELINE.md's
-    ``| query | sf | sec | config |`` table (empty dict if absent)."""
+    ``| query | sf | sec | config |`` table (empty dict if absent).
+    Only rows whose sf column matches the CURRENT run's sf are loaded —
+    comparing an sf0.01 run against sf0.1 baselines flags nonsense
+    regressions (overhead-dominated queries don't scale linearly)."""
     out: dict[str, float] = {}
     try:
         with open(path) as f:
             for line in f:
-                m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|", line)
-                if m:
-                    out[m.group(1)] = float(m.group(2))
+                m = re.match(
+                    r"\|\s*([a-z0-9_]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|", line
+                )
+                if m and m.group(2) == sf:
+                    out[m.group(1)] = float(m.group(3))
     except OSError:
         pass
     return out
@@ -246,7 +251,7 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"))
+    baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"), sf)
     regressions = sorted(
         (
             {"query": n, "sec": t, "baseline_sec": baseline[n],

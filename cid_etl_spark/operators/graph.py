@@ -212,16 +212,24 @@ def pagerank(
     discipline connected_components applies per round.
     """
     checkpoint_every = 5
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Persist the BASE edge list before anything derives from it: nodes,
+    # degrees, and the degree-annotated edge table all consume it, and
+    # without the cache the (often expensive) upstream edge derivation —
+    # e.g. the co-purchase basket self-join — re-runs once for the node
+    # count and again when the round pipeline first materializes.
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # degrees/nodes/edges are consumed every round: materialize once
-    e = e.join(deg, "src").persist()
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degrees/edges are consumed every round: materialize once.  The
+    # per-round join layout is left to AQE on purpose — at small scale
+    # ranks broadcast (zero edge shuffle per round), at cluster scale
+    # AQE falls back to a co-partitioned hash join.
+    e = e0.join(deg, "src").persist()
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
