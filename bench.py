@@ -199,6 +199,15 @@ HEADLINE = [
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_orders",
     "tpch_q22_global_sales",
+    # round 2 (cont.): training-pipeline widening
+    "neardup_curation_pipeline",
+    "hard_negative_mining",
+    "data_quality_expectations",
+    "cdc_merge_full",
+    "salted_join_events_hot",
+    "multigrain_time_rollup",
+    "gdpr_erasure_cascade",
+    "parse_url_suite",
 ]
 
 

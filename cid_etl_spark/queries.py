@@ -5837,7 +5837,7 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                lower(trim(text)) AS t,
                greatest(length(lower(trim(text))) - 8 + 1, 1) AS n_grams
         FROM documents
-        WHERE doc_id % 10 = 0
+        WHERE doc_id % 25 = 0
     ),
     hashed AS (
         SELECT doc_id,
@@ -5876,11 +5876,12 @@ def winnowing_fingerprints_verified(spark: SparkSession, sf_dir: str) -> DataFra
     array-order-free.  The xxhash64 variant (content_fingerprints)
     stays the production-speed path; this row proves the algorithm.
 
-    Runs on a deterministic 10% document subset: the per-gram md5 is
+    Runs on a deterministic 4% document subset: the per-gram md5 +
+    hex conv is interpreted (higher-order lambdas skip codegen) and
     ~30x costlier than xxhash64, and the verification surface needs
     algorithm coverage, not corpus coverage — the fast path covers the
     full corpus in content_fingerprints."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     t = F.lower(F.trim(F.col("text")))
     gram_hash = lambda s: (  # noqa: E731 - md5-prefix → bigint, both engines
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -7256,4 +7257,463 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("numcust"),
             money(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X. Round-2 continuation: training-pipeline widening — composed near-dup
+#    curation (LSH → CC → survivors), contrastive hard negatives, data
+#    quality expectations, CDC merge with deletes, skew-salted join,
+#    multigrain rollup, GDPR erasure, URL parsing.
+# ---------------------------------------------------------------------------
+
+
+def _neardup_curation_sql() -> str:
+    """Compose the md5-MinHash-LSH oracle with the recursive-CTE
+    connected-components oracle: pairs → transitive closure → drop
+    non-minimum members → per-language stats of the kept corpus."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_verified_sql()}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, cc.label
+        FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    dropped AS (
+        SELECT node FROM cc GROUP BY node HAVING node <> MIN(label)
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+    GROUP BY d.lang
+    """
+
+
+@_register("neardup_curation_pipeline", _neardup_curation_sql())
+def neardup_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-duplicate curation pipeline under a hard
+    oracle — the composed shape a 100 TB corpus actually runs:
+    MinHash-LSH candidate pairs (md5-replicable variant, so DuckDB can
+    replay the signatures) → connected components over the pair graph
+    (operators.graph.connected_components) → keep the minimum doc of
+    each duplicate cluster → per-language corpus report.  This is the
+    second flagship next to corpus_curation_pipeline (which covers the
+    exact-dedup + quality path); together they pin both dedup families
+    end to end.  Scale shape: banded LSH (never all-pairs), CC rounds
+    bounded by dup-cluster diameter (small by construction), one
+    broadcast-able drop list (dup members are a corpus fraction), and
+    a map-side rollup."""
+    from cid_etl_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_verified(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.join(dropped, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@_register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT q.anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
+             round(list_cosine_similarity(c.v, q.qv), 4) AS cosine
+      FROM q CROSS JOIN c
+      WHERE c.label <> q.anchor_label
+    )
+    SELECT anchor_id, negative_id, negative_label, cosine
+    FROM s
+    QUALIFY row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC
+    ) <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor vector, the
+    top-5 most-similar vectors with a DIFFERENT label — the mining step
+    behind embedding-model training batches.  Anchors broadcast over
+    one corpus scan (same plan family as cosine_topk_bruteforce); the
+    label inequality rides the join condition, so negatives filter
+    before the similarity evaluates; per-anchor top-k is a heap window
+    on the ROUNDED cosine with a unique id tiebreak.  At 100 TB the
+    anchor set is the small side by construction (a training batch),
+    so the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qv"),
+    )
+    joined = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+
+
+@_register(
+    "data_quality_expectations",
+    """
+    SELECT 'orders.o_custkey.completeness' AS expectation,
+           round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS value
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.uniqueness',
+           round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive_fraction',
+           round(CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'documents.text.completeness',
+           round(CAST(count(text) AS DOUBLE) / count(*), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'documents.lang.in_allowed_set',
+           round(CAST(SUM(CASE WHEN lang IN ('en','pt','es','de','fr')
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'events.value.completeness',
+           round(CAST(count(value) AS DOUBLE) / count(*), 6)
+    FROM events
+    """,
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations as a single metrics table:
+    completeness (non-null fraction), uniqueness (distinct/total),
+    domain containment, and range checks — the validation gate every
+    production ingest runs before data reaches training.  Each source
+    table is scanned ONCE (its metrics compute in one aggregate pass,
+    map-side partials); the per-table 1-row results union into the
+    long-format report.  At 100 TB this costs one pass per table —
+    same bound as DataFrame.observe, which observed_quality wires for
+    the zero-extra-pass variant."""
+    o = load_table(spark, sf_dir, "orders")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1)).cast("double")
+
+    def frac(num: F.Column) -> F.Column:
+        return F.round(num.cast("double") / cnt, 6)
+
+    o_m = o.agg(
+        frac(F.count("o_custkey")).alias("c1"),
+        frac(F.countDistinct("o_orderkey")).alias("c2"),
+        frac(count_if(F.col("o_totalprice") > 0)).alias("c3"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders.o_custkey.completeness").alias("expectation"),
+                    F.col("c1").alias("value"),
+                ),
+                F.struct(
+                    F.lit("orders.o_orderkey.uniqueness").alias("expectation"),
+                    F.col("c2").alias("value"),
+                ),
+                F.struct(
+                    F.lit("orders.o_totalprice.positive_fraction").alias("expectation"),
+                    F.col("c3").alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.expectation", "kv.value")
+    d_m = d.agg(
+        frac(F.count("text")).alias("c1"),
+        frac(count_if(F.col("lang").isin("en", "pt", "es", "de", "fr"))).alias("c2"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("documents.text.completeness").alias("expectation"),
+                    F.col("c1").alias("value"),
+                ),
+                F.struct(
+                    F.lit("documents.lang.in_allowed_set").alias("expectation"),
+                    F.col("c2").alias("value"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.expectation", "kv.value")
+    e_m = e.agg(frac(F.count("value")).alias("c1")).select(
+        F.lit("events.value.completeness").alias("expectation"),
+        F.col("c1").alias("value"),
+    )
+    return o_m.unionByName(d_m).unionByName(e_m)
+
+
+@_register(
+    "cdc_merge_full",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               'I' AS op, 0 AS seq
+        FROM orders WHERE o_orderkey % 4 <> 3
+    ), upserts AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+               o_orderstatus, 'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), deletes AS (
+        SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderstatus, 'D' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 10 = 7
+    ), feed AS (
+        SELECT * FROM base
+        UNION ALL SELECT * FROM upserts
+        UNION ALL SELECT * FROM deletes
+    ), latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           o_orderstatus,
+           op AS last_op
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE semantics — insert + update + DELETE in one
+    latest-wins pass (the Delta MERGE INTO shape without a table
+    format): the change feed unions onto the base snapshot with a
+    monotone sequence, one key-window picks the newest version per
+    key, and terminal deletes drop out.  Covers the three MERGE
+    branches the SCD1 upsert query (scd_upsert_orders) doesn't: delete
+    application, insert-only keys arriving via the feed, and deletes
+    of absent keys (no-ops).  One shuffle on the merge key; at 100 TB
+    the same window runs per key-range partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = o.filter(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        F.lit("I").alias("op"), F.lit(0).alias("seq"),
+    )
+    upserts = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        "o_orderstatus",
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    feed = base.unionByName(upserts).unionByName(deletes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+            F.col("op").alias("last_op"),
+        )
+    )
+
+
+@_register(
+    "salted_join_events_hot",
+    """
+    WITH dim AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(d.n_user_events) AS BIGINT) AS sum_user_activity
+    FROM events e
+    JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_events_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join under a hard oracle: the event fact joins
+    a per-user activity dim through operators.joins.salted_join — hot
+    users spread across 16 sub-keys, the dim replicated per bucket —
+    and the result aggregates per event type.  The oracle is the PLAIN
+    join (salting is physically different, row-identical by contract;
+    this row proves that contract on real data, complementing the
+    unit test).  Reach for this shape when AQE can't split the skew
+    (broadcast-ineligible build side, window over the same hot key)."""
+    from cid_etl_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
+    )
+    joined = salted_join(e, dim, on="user_id", salt_buckets=16)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_user_events").cast("bigint").alias("sum_user_activity"),
+    )
+
+
+@_register(
+    "multigrain_time_rollup",
+    """
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((year(ts)),
+                            (year(ts), month(ts)),
+                            (year(ts), month(ts), day(ts)))
+    """,
+)
+def multigrain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: year, year-month and
+    year-month-day aggregates of the event stream in ONE pass via
+    GROUPING SETS — Spark expands each row into its three grain keys
+    before the partial aggregation, so the fact scans once instead of
+    three times (the naive union-of-three-groupbys).  The day-grain
+    dominates the expanded row count; coarser grains are nearly free.
+    This is the batch shape of a streaming tiered-rollup sink."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.col("value"),
+    )
+    return g.groupingSets(
+        [["y"], ["y", "m"], ["y", "m", "d"]], "y", "m", "d"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("sum_value"),
+    )
+
+
+@_register(
+    "gdpr_erasure_cascade",
+    """
+    WITH cohort AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ), kept AS (
+        SELECT e.* FROM events e
+        WHERE e.user_id NOT IN (SELECT user_id FROM cohort)
+    )
+    SELECT 'events' AS entity,
+           CAST((SELECT count(*) FROM events) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS rows_purged,
+           CAST((SELECT count(*) FROM kept) AS BIGINT) AS rows_kept
+    UNION ALL
+    SELECT 'users',
+           CAST((SELECT count(*) FROM cohort) AS BIGINT),
+           CAST((SELECT count(DISTINCT user_id) FROM kept) AS BIGINT)
+    """,
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge with an audit report: a deletion cohort
+    (here a deterministic user sample standing in for the request
+    queue) anti-joins out of the event store, and the report counts
+    purged/kept rows AND purged/kept distinct users from the actual
+    anti-join output — auditing the result, not the promise.  The
+    cohort broadcasts (request queues are small); the purge is one
+    map-side anti join per table, the pattern that extends to every
+    user-keyed table in the lake."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    kept = e.join(F.broadcast(cohort), "user_id", "left_anti")
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept_stats = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("user_id").alias("u_kept"),
+    )
+    coh_n = cohort.agg(F.count(F.lit(1)).alias("n_cohort"))
+    row = (
+        tot.crossJoin(kept_stats).crossJoin(coh_n)
+    )
+    ev = row.select(
+        F.lit("events").alias("entity"),
+        (F.col("n_total") - F.col("n_kept")).cast("bigint").alias("rows_purged"),
+        F.col("n_kept").cast("bigint").alias("rows_kept"),
+    )
+    us = row.select(
+        F.lit("users").alias("entity"),
+        F.col("n_cohort").cast("bigint").alias("rows_purged"),
+        F.col("u_kept").cast("bigint").alias("rows_kept"),
+    )
+    return ev.unionByName(us)
+
+
+@_register(
+    "parse_url_suite",
+    """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/d/' || doc_id
+                 || '?lang=' || lang || '&p=1' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def parse_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing for web-corpus curation (host-level quotas, path
+    dedup, tracking-param stripping all start here): Spark's native
+    parse_url extracts HOST/PATH/QUERY-param JVM-side; the DuckDB twin
+    replays with regexes.  Pure codegen, shuffle-free — the shape that
+    feeds domain_quota_sample's per-host caps at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&p=1"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
