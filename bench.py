@@ -208,6 +208,8 @@ HEADLINE = [
     "multigrain_time_rollup",
     "gdpr_erasure_cascade",
     "parse_url_suite",
+    "kmeans_cluster_assign",
+    "curriculum_phases",
 ]
 
 

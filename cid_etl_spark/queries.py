@@ -7717,3 +7717,143 @@ def parse_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@_register(
+    "kmeans_cluster_assign",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), a1 AS (
+        SELECT v.vec_id, c0.cid,
+               round(list_cosine_similarity(v.v, c0.cv), 6) AS cos6
+        FROM v CROSS JOIN c0
+        QUALIFY row_number() OVER (
+            PARTITION BY v.vec_id ORDER BY cos6 DESC, c0.cid ASC
+        ) = 1
+    ), dims AS (
+        SELECT unnest(range(1, 65)) AS i
+    ), m1 AS (
+        SELECT a1.cid, dims.i, round(avg(v.v[dims.i]), 6) AS cd
+        FROM a1 JOIN v USING (vec_id) CROSS JOIN dims
+        GROUP BY a1.cid, dims.i
+    ), c1 AS (
+        SELECT cid, list(cd ORDER BY i) AS cv FROM m1 GROUP BY cid
+    ), a2 AS (
+        SELECT v.vec_id, c1.cid,
+               round(list_cosine_similarity(v.v, c1.cv), 6) AS cos6
+        FROM v CROSS JOIN c1
+        QUALIFY row_number() OVER (
+            PARTITION BY v.vec_id ORDER BY cos6 DESC, c1.cid ASC
+        ) = 1
+    )
+    SELECT vec_id, cid AS cluster_id, round(cos6, 4) AS cosine
+    FROM a2
+    """,
+)
+def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document/topic clustering via deterministic Lloyd k-means (two
+    assignment passes, k=8, seeds = first eight vectors): the
+    corpus-bucketing step behind topic-balanced mixtures, SemDeDup
+    cells and curriculum ordering.  Fully replayable: seeds are fixed
+    rows (not RNG), assignment maximizes the cosine ROUNDED to 6dp with
+    a centroid-id tiebreak, and the updated centroids round each
+    coordinate to 6dp before pass two — every float boundary crossing
+    engines is pinned.
+
+    Scale shape: centroids BROADCAST both passes (k x dim is tiny), so
+    the corpus never shuffles for assignment; the centroid update is
+    one (cluster, dim)-keyed partial aggregation — 8 x 64 groups — via
+    posexplode, the same map-side-combine shape at any corpus size.
+    The IVF index (operators.similarity.cosine_topk_ivf) wires the
+    same loop with sampled training; this row pins the math under a
+    hard oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    c0 = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        j = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            F.round(cosine_similarity(F.col("v"), F.col("cv")), 6).alias("cos6"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("cid"))
+        return (
+            j.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    a1 = assign(v, c0).select("vec_id", "cid")
+    m1 = (
+        a1.join(v, "vec_id")
+        .select("cid", F.posexplode("v").alias("i0", "x"))
+        .groupBy("cid", "i0")
+        .agg(F.round(F.avg("x"), 6).alias("cd"))
+    )
+    c1 = (
+        m1.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("i0", "cd"))).alias("pairs"))
+        .select("cid", F.transform("pairs", lambda p: p.cd).alias("cv"))
+    )
+    a2 = assign(v, c1)
+    return a2.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.round("cos6", 4).alias("cosine")
+    )
+
+
+@_register(
+    "curriculum_phases",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               round(CAST(n_chars AS DOUBLE)
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                     6) AS difficulty
+        FROM documents
+    ), phased AS (
+        SELECT doc_id, lang, difficulty,
+               ntile(4) OVER (ORDER BY difficulty, doc_id) AS phase
+        FROM scored
+    )
+    SELECT phase, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(difficulty), 6) AS min_difficulty,
+           round(max(difficulty), 6) AS max_difficulty
+    FROM phased
+    GROUP BY phase, lang
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus by a difficulty proxy
+    (mean token length — longer tokens ≈ rarer vocabulary) and cut it
+    into four training phases with ntile, reporting per-phase
+    composition.  The deterministic (difficulty, doc_id) order makes
+    phase boundaries engine-stable.  Scale note: a global ntile is a
+    single-partition sort at the limit — at 100 TB swap in the
+    percentile-threshold form (quantile_trim_documents' 1-row
+    broadcast pattern) to assign phases map-side; the report shape
+    stays identical, which is why the phase/composition contract is
+    pinned here."""
+    d = load_table(spark, sf_dir, "documents")
+    difficulty = F.round(
+        F.col("n_chars").cast("double")
+        / F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1)
+        ),
+        6,
+    )
+    scored = d.select("doc_id", "lang", difficulty.alias("difficulty"))
+    w = Window.orderBy("difficulty", "doc_id")
+    phased = scored.withColumn("phase", F.ntile(4).over(w))
+    return phased.groupBy("phase", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+        F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+    )
