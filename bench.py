@@ -210,6 +210,8 @@ HEADLINE = [
     "parse_url_suite",
     "kmeans_cluster_assign",
     "curriculum_phases",
+    "recursive_month_spine",
+    "recursive_supplier_tree",
 ]
 
 

@@ -7857,3 +7857,112 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("difficulty"), 6).alias("min_difficulty"),
         F.round(F.max("difficulty"), 6).alias("max_difficulty"),
     )
+
+
+@_register(
+    "recursive_month_spine",
+    """
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ), spine(m) AS (
+        SELECT CAST(lo AS TIMESTAMP) FROM bounds
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < (SELECT hi FROM bounds)
+    ), rev AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           CAST(round(coalesce(rev.r, 0), 2) AS DOUBLE) AS revenue,
+           coalesce(rev.n, 0) AS n_orders
+    FROM spine s LEFT JOIN rev ON s.m = rev.m
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the engine's OWN SQL surface (Spark 4
+    WITH RECURSIVE): generate the complete month spine between the
+    first and last order and left-join monthly revenue, so gap months
+    appear as explicit zero rows — the calendar-completion shape every
+    reporting pipeline needs (a GROUP BY alone silently drops empty
+    months).  The recursion is acyclic and bounded (one step per
+    month, far under Spark's recursion ceiling); the spine is tiny and
+    broadcasts into the rollup.  DuckDB replays the identical
+    recursive SQL.  Complements resample_gapfill_events, which fills
+    gaps with sequence+explode instead — two engine surfaces, one
+    semantic, both oracled."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM orders
+        ), spine(m) AS (
+            SELECT CAST(lo AS TIMESTAMP) FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < (SELECT hi FROM bounds)
+        ), rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               CAST(round(coalesce(rev.r, 0), 2) AS DOUBLE) AS revenue,
+               coalesce(rev.n, CAST(0 AS BIGINT)) AS n_orders
+        FROM spine s LEFT JOIN rev ON s.m = rev.m
+        """
+    )
+
+
+@_register(
+    "recursive_supplier_tree",
+    """
+    WITH RECURSIVE walk(node, root, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0
+        FROM supplier WHERE s_suppkey <= 1
+        UNION ALL
+        SELECT s.s_suppkey, w.root, w.depth + 1
+        FROM supplier s JOIN walk w ON s.s_suppkey // 2 = w.node
+        WHERE s.s_suppkey > 1
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM walk GROUP BY depth
+    """,
+)
+def recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal via recursive CTE (org charts, BOM
+    explosions, category trees): suppliers form a synthetic binary
+    tree (parent = key div 2, the heap layout) and the recursion walks
+    it from the roots, counting nodes per depth.  Each recursion level
+    is one join against the previous frontier — the same physical
+    shape as operators.graph.connected_components' rounds, but driven
+    by the engine's native WITH RECURSIVE machinery; depth is bounded
+    by log2(N).  DuckDB replays the identical SQL (integer-exact)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, root, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0
+            FROM supplier WHERE s_suppkey <= 1
+            UNION ALL
+            SELECT s.s_suppkey, w.root, w.depth + 1
+            FROM supplier s JOIN walk w ON CAST(s.s_suppkey / 2 AS BIGINT) = w.node
+            WHERE s.s_suppkey > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               min(node) AS min_node,
+               max(node) AS max_node
+        FROM walk GROUP BY depth
+        """
+    )
