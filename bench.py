@@ -212,6 +212,8 @@ HEADLINE = [
     "curriculum_phases",
     "recursive_month_spine",
     "recursive_supplier_tree",
+    "bpe_train_rounds",
+    "psi_drift_orders",
 ]
 
 

@@ -7966,3 +7966,186 @@ def recursive_supplier_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY depth
         """
     )
+
+
+def _bpe_round_sql(prev: str, step: int) -> str:
+    """One unrolled BPE round for the DuckDB twin: adjacent-pair counts
+    over the current token rows, argmax merge choice (count desc, then
+    lexicographic pair), greedy non-overlapping apply."""
+    return f"""
+    p{step} AS (
+        SELECT tok AS a,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM {prev}
+    ), c{step} AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        FROM p{step} WHERE b IS NOT NULL AND a <> b
+        GROUP BY a, b
+    ), best{step} AS (
+        SELECT a, b, n FROM c{step}
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ), m{step} AS (
+        SELECT r.doc_id, r.pos, r.tok,
+               lead(r.tok) OVER (PARTITION BY r.doc_id ORDER BY r.pos) AS nxt,
+               lag(r.tok)  OVER (PARTITION BY r.doc_id ORDER BY r.pos) AS prv
+        FROM {prev} r
+    ), r{step} AS (
+        SELECT m.doc_id, m.pos,
+               CASE WHEN m.tok = b.a AND m.nxt = b.b
+                    THEN m.tok || ' ' || m.nxt ELSE m.tok END AS tok
+        FROM m{step} m CROSS JOIN best{step} b
+        WHERE NOT (m.prv = b.a AND m.tok = b.b)
+           OR m.prv IS NULL
+    )"""
+
+
+@_register(
+    "bpe_train_rounds",
+    f"""
+    WITH r0 AS (
+        SELECT doc_id, t.i AS pos,
+               list_extract(string_split_regex(lower(trim(text)), '\\s+'), t.i) AS tok
+        FROM documents,
+             LATERAL unnest(range(1, len(string_split_regex(lower(trim(text)), '\\s+')) + 1)) t(i)
+        WHERE doc_id % 20 = 0
+    ),{_bpe_round_sql("r0", 1)},{_bpe_round_sql("r1", 2)},{_bpe_round_sql("r2", 3)}
+    SELECT 1 AS step, a AS pair_a, b AS pair_b, n AS pair_count FROM best1
+    UNION ALL
+    SELECT 2, a, b, n FROM best2
+    UNION ALL
+    SELECT 3, a, b, n FROM best3
+    """,
+)
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (3 merge rounds) — the actual
+    training LOOP, beyond the single pair-count pass of
+    bpe_pair_counts: each round counts adjacent token pairs, picks the
+    most frequent (count desc, lexicographic tiebreak; a≠b so greedy
+    application never overlaps), merges it corpus-wide, and the next
+    round counts over the MERGED stream — so any divergence compounds,
+    making the 3-round trace a sharp cross-engine check.  Word-level
+    tokens ("phrase BPE") keep both tokenizations trivially identical.
+
+    Scale shape per round: one doc-keyed window pass (all three window
+    functions share the same (doc_id, pos) sort), a pair rollup with
+    map-side partials, and a 1-ROW argmax broadcast back — the merge
+    apply is map-side.  The doc-keyed partitioning is reusable across
+    all rounds; position gaps left by merges are harmless because
+    adjacency is by lead(), not pos arithmetic.  The DuckDB twin
+    unrolls the same three rounds."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    steps = []
+    cur = toks
+    for step in (1, 2, 3):
+        pairs = cur.select(
+            "doc_id", "pos", "tok", F.lead("tok").over(w).alias("nxt")
+        )
+        counts = (
+            pairs.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        best = counts.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        marked = cur.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.lead("tok").over(w).alias("nxt"),
+            F.lag("tok").over(w).alias("prv"),
+        ).crossJoin(F.broadcast(best))
+        cur = marked.filter(
+            F.col("prv").isNull() | ~((F.col("prv") == F.col("a")) & (F.col("tok") == F.col("b")))
+        ).select(
+            "doc_id",
+            "pos",
+            F.when(
+                (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b")),
+                F.concat(F.col("tok"), F.lit(" "), F.col("nxt")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@_register(
+    "psi_drift_orders",
+    """
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / 50000.0) AS INTEGER), 9) AS bin,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 'a' ELSE 'b' END AS period
+        FROM orders
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts
+    )
+    SELECT c.bin,
+           round(CAST(c.n_a AS DOUBLE) / t.t_a, 6) AS pct_a,
+           round(CAST(c.n_b AS DOUBLE) / t.t_b, 6) AS pct_b,
+           round((CAST(c.n_a AS DOUBLE) / t.t_a - CAST(c.n_b AS DOUBLE) / t.t_b)
+                 * ln(greatest(CAST(c.n_a AS DOUBLE) / t.t_a, 1e-6)
+                      / greatest(CAST(c.n_b AS DOUBLE) / t.t_b, 1e-6)), 6)
+             AS psi_term
+    FROM counts c, tot t
+    """,
+)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order periods — the
+    distribution-drift monitor a training pipeline runs before mixing
+    a new data dump into the corpus (price distribution standing in
+    for any feature).  FIXED bin edges (10 × 50k, top-clamped) keep
+    bins engine-stable; per-bin shares divide exact counts (identical
+    IEEE quotients both engines), and the epsilon guard inside ln
+    handles empty bins the standard way.  One fact pass → 10-row
+    rollup → 1-row totals broadcast back; the same plan at 100 TB is
+    scan-bound."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        count_if(F.col("period") == "a").alias("n_a"),
+        count_if(F.col("period") == "b").alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    pa = F.col("n_a").cast("double") / F.col("t_a")
+    pb = F.col("n_b").cast("double") / F.col("t_b")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(pa, 6).alias("pct_a"),
+        F.round(pb, 6).alias("pct_b"),
+        F.round(
+            (pa - pb) * F.log(F.greatest(pa, F.lit(1e-6)) / F.greatest(pb, F.lit(1e-6))),
+            6,
+        ).alias("psi_term"),
+    )
