@@ -32,6 +32,13 @@ SENSITIVE = (
     "asof_prior_purchase",
     "salted_agg_lineitem",
     "pagerank_copurchase",
+    # round-2 continuation: iterative/global-state additions
+    "kmeans_cluster_assign",     # double avg re-ordered by partitioning
+    "neardup_curation_pipeline", # LSH bands + CC rounds + anti join
+    "cdc_merge_full",            # latest-wins window survivor
+    "curriculum_phases",         # global ntile boundary stability
+    "bpe_train_rounds",          # 3 compounding argmax/merge rounds
+    "salted_join_events_hot",    # salt derived from partition id
 )
 
 
