@@ -6564,23 +6564,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(euro_sup.select("s_suppkey")),
         ps.l_suppkey == F.col("s_suppkey"),
     ).select("l_partkey", "l_suppkey", "unit_cost")
-    best = eligible.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    # argmin via a window-min over the part key: one shuffle on
+    # l_partkey, reused by the filter -- the agg+self-join form costs a
+    # second exchange pair plus a sort-merge join on (key, cost)
+    w_part = Window.partitionBy("l_partkey")
+    best = eligible.withColumn("min_cost", F.min("unit_cost").over(w_part)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
     return (
-        eligible.alias("e")
-        .join(
-            best.alias("b"),
-            (F.col("e.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("e.unit_cost") == F.col("b.min_cost")),
-        )
-        .join(F.broadcast(part), F.col("e.l_partkey") == part.p_partkey)
-        .join(F.broadcast(euro_sup), F.col("e.l_suppkey") == euro_sup.s_suppkey)
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(euro_sup), best.l_suppkey == euro_sup.s_suppkey)
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
             "p_partkey",
             "p_type",
-            F.round("e.unit_cost", 6).alias("unit_cost"),
+            F.round("unit_cost", 6).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -264,3 +264,63 @@ def test_weighted_sample_is_heap_not_sort(spark):
     plan = _plan(spark, "weighted_sample_documents")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q6_pure_scan_agg_no_shuffle(spark):
+    # TPC-H Q6: predicates pushed, no data shuffle, map-side partials
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "partial_" in plan, plan
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]", plan), plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    # OR-of-conjuncts must not degrade to a nested-loop join
+    plan = _plan(spark, "tpch_q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_single_aggregation_no_fact_self_joins(spark):
+    # the EXISTS/NOT-EXISTS pair collapsed into one order-keyed agg:
+    # no sort-merge self-joins of lineitem, bounded exchange count
+    plan = _plan(spark, "tpch_q21_waiting_orders")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q2_argmin_reuses_part_partitioning(spark):
+    # window-min argmin: no sort-merge join, dims broadcast
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q9_name_filter_prunes_part_broadcast(spark):
+    # '%red%' must reach the part scan feeding the broadcast
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert "Contains(p_name,red)" in plan.replace(" ", "").replace("'", ""), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hard_negatives_broadcast_anchor_corpus_single_window_shuffle(spark):
+    # anchors broadcast (nested-loop over 8 rows is the non-equi form);
+    # corpus shuffles once, for the per-anchor top-k window
+    plan = _plan(spark, "hard_negative_mining")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_multigrain_one_expand_one_exchange(spark):
+    # GROUPING SETS: one Expand pass + one shuffle, never three scans
+    plan = _plan(spark, "multigrain_time_rollup")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cdc_merge_single_key_shuffle(spark):
+    plan = _plan(spark, "cdc_merge_full")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
