@@ -214,6 +214,7 @@ HEADLINE = [
     "recursive_supplier_tree",
     "bpe_train_rounds",
     "psi_drift_orders",
+    "incremental_agg_maintenance",
 ]
 
 

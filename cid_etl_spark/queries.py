@@ -8149,3 +8149,50 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+@_register(
+    "incremental_agg_maintenance",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily-revenue
+    rollup is NOT recomputed from scratch — an existing state snapshot
+    (orders before the cutoff, standing in for yesterday's stored
+    aggregate) merges with partials over only the NEW batch, combining
+    sums and counts per day.  The oracle is the full direct rollup, so
+    this row proves merge(state, delta) == recompute(all) — the
+    correctness contract that lets a 100 TB pipeline touch only the
+    new partition each day instead of re-scanning years of history.
+    Decomposable aggregates (sum/count here; min/max/HLL union in
+    general) are exactly the ones this works for; AVG must be carried
+    as sum+count, which the schema does."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    day = F.col("o_orderdate").cast("date").alias("day")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    # "stored" state: pre-cutoff rollup (in production: read back from
+    # the state table, not recomputed — shape is identical)
+    state = o.filter(F.col("o_orderdate") < cutoff).groupBy(day).agg(
+        F.sum(price).alias("rev_part"), F.count(F.lit(1)).alias("n_part")
+    )
+    delta = o.filter(F.col("o_orderdate") >= cutoff).groupBy(day).agg(
+        F.sum(price).alias("rev_part"), F.count(F.lit(1)).alias("n_part")
+    )
+    merged = (
+        state.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("rev_part").alias("rev"), F.sum("n_part").alias("n"))
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        money(F.col("rev")).alias("revenue"),
+        F.col("n").cast("bigint").alias("n_orders"),
+    )
