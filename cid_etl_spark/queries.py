@@ -7866,11 +7866,16 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('month', min(o_orderdate)) AS lo,
                date_trunc('month', max(o_orderdate)) AS hi
         FROM orders
+    ), seed AS (
+        SELECT CAST(lo AS TIMESTAMP) + to_months(CAST(t.i AS INTEGER)) AS m
+        FROM bounds, LATERAL unnest(range(0, 12)) t(i)
     ), spine(m) AS (
-        SELECT CAST(lo AS TIMESTAMP) FROM bounds
+        SELECT m FROM seed
         UNION ALL
-        SELECT m + INTERVAL 1 MONTH FROM spine
-        WHERE m < (SELECT hi FROM bounds)
+        SELECT m + INTERVAL 12 MONTH FROM spine
+        WHERE m + INTERVAL 12 MONTH <= (SELECT hi FROM bounds)
+    ), months AS (
+        SELECT m FROM spine WHERE m <= (SELECT hi FROM bounds)
     ), rev AS (
         SELECT date_trunc('month', o_orderdate) AS m,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
@@ -7880,7 +7885,7 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(s.m, '%Y-%m') AS month,
            CAST(round(coalesce(rev.r, 0), 2) AS DOUBLE) AS revenue,
            coalesce(rev.n, 0) AS n_orders
-    FROM spine s LEFT JOIN rev ON s.m = rev.m
+    FROM months s LEFT JOIN rev ON s.m = rev.m
     """,
 )
 def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7889,24 +7894,36 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     first and last order and left-join monthly revenue, so gap months
     appear as explicit zero rows — the calendar-completion shape every
     reporting pipeline needs (a GROUP BY alone silently drops empty
-    months).  The recursion is acyclic and bounded (one step per
-    month, far under Spark's recursion ceiling); the spine is tiny and
-    broadcasts into the rollup.  DuckDB replays the identical
-    recursive SQL.  Complements resample_gapfill_events, which fills
-    gaps with sequence+explode instead — two engine surfaces, one
-    semantic, both oracled."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    months).  DuckDB replays the identical recursive SQL.  Complements
+    resample_gapfill_events, which fills gaps with sequence+explode
+    instead — two engine surfaces, one semantic, both oracled.
+
+    Physical notes: the recursion advances a YEAR of months per step
+    (depth = span/12) because every recursive step is a Spark job —
+    month-at-a-time recursion costs ~80 serialized jobs (~48 s at
+    sf0.1); and the date bounds inline as literals via one bounded
+    1-row action, because a scalar subquery in the recursion condition
+    re-aggregates the fact table EVERY step (measured 10.8 s → ~2 s).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    b = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    ).collect()[0]
+    lo, hi = str(b.lo), str(b.hi)
     return spark.sql(
-        """
-        WITH RECURSIVE bounds AS (
-            SELECT date_trunc('month', min(o_orderdate)) AS lo,
-                   date_trunc('month', max(o_orderdate)) AS hi
-            FROM orders
+        f"""
+        WITH RECURSIVE seed AS (
+            SELECT TIMESTAMP '{lo}' + make_ym_interval(0, i) AS m
+            FROM (SELECT explode(sequence(0, 11)) AS i)
         ), spine(m) AS (
-            SELECT CAST(lo AS TIMESTAMP) FROM bounds
+            SELECT m FROM seed
             UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM spine
-            WHERE m < (SELECT hi FROM bounds)
+            SELECT m + INTERVAL 12 MONTH FROM spine
+            WHERE m + INTERVAL 12 MONTH <= TIMESTAMP '{hi}'
+        ), months AS (
+            SELECT m FROM spine WHERE m <= TIMESTAMP '{hi}'
         ), rev AS (
             SELECT date_trunc('month', o_orderdate) AS m,
                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
@@ -7916,7 +7933,7 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_format(s.m, 'yyyy-MM') AS month,
                CAST(round(coalesce(rev.r, 0), 2) AS DOUBLE) AS revenue,
                coalesce(rev.n, CAST(0 AS BIGINT)) AS n_orders
-        FROM spine s LEFT JOIN rev ON s.m = rev.m
+        FROM months s LEFT JOIN rev ON s.m = rev.m
         """
     )
 
