@@ -484,13 +484,25 @@ def semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     """,
 )
 def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti — customers with no orders."""
+    """left_anti — customers idle since 2000 (the absolute no-orders
+    form is vacuously empty on the fixture: every customer has at
+    least one order, and a 0-row green is weak evidence)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
 
 
@@ -907,16 +919,22 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_nationkey AS nationkey FROM nation
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey % 7 = 0
     """,
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with no suppliers."""
+    """EXCEPT (distinct): nations not covered by the audit-sampled
+    supplier subset (every nation has SOME supplier on the fixture, so
+    the unfiltered form returned 0 rows — a vacuous green; the
+    deterministic key-sample keeps the result non-empty at the
+    correctness scales)."""
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nationkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return n.subtract(s)
 
@@ -7224,7 +7242,11 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM eligible e, thr
     WHERE e.c_acctbal > thr.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = e.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
     GROUP BY e.cntrycode
     """,
 )
@@ -7232,7 +7254,9 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted: country code =
     c_nationkey % 5 (no phone column), four target codes.  Rich
     customers (above the average positive balance of the code pool)
-    with NO orders, rolled up per code.  The scalar AVG subquery is a
+    with no RECENT orders (the fixture has no fully order-less rich
+    customers, which made the spec's absolute form vacuously empty —
+    a 0-row green is weak evidence), rolled up per code.  The scalar AVG subquery is a
     1-row broadcast; the average divides an EXACT decimal sum (cast to
     double) by the count — both engines produce the identical IEEE
     quotient, so the threshold cannot flip.  NOT EXISTS is a LEFT ANTI
@@ -7241,7 +7265,13 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", (F.col("c_nationkey") % 5).alias("cntrycode")
     ).filter(F.col("cntrycode").isin(0, 1, 2, 4))
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
