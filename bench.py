@@ -215,6 +215,7 @@ HEADLINE = [
     "bpe_train_rounds",
     "psi_drift_orders",
     "incremental_agg_maintenance",
+    "pseudonymize_events",
 ]
 
 

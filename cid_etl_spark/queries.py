@@ -8243,3 +8243,47 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.col("rev")).alias("revenue"),
         F.col("n").cast("bigint").alias("n_orders"),
     )
+
+
+@_register(
+    "pseudonymize_events",
+    """
+    WITH p AS (
+        SELECT sha256('corpus-salt-v1:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+               event_type, value
+        FROM events
+    )
+    SELECT substr(user_pseudo, 1, 16) AS user_token,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM p
+    GROUP BY substr(user_pseudo, 1, 16)
+    """,
+)
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (privacy-preserving analytics):
+    user ids are replaced by a salted sha256 token BEFORE any
+    aggregation, and the rollup proves analytic utility survives —
+    per-token counts equal per-user counts because the mapping is
+    injective.  The salt would live in a secret store in production;
+    rotating it unlinks historical tokens.  Map-side hash + one
+    token-keyed shuffle, the same plan as the raw-id rollup — privacy
+    here costs one codegen'd hash per row."""
+    e = load_table(spark, sf_dir, "events")
+    token = F.substring(
+        F.sha2(
+            F.concat(F.lit("corpus-salt-v1:"), F.col("user_id").cast("string")), 256
+        ),
+        1,
+        16,
+    )
+    return (
+        e.select(token.alias("user_token"), "event_type", "value")
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("sum_value"),
+        )
+    )
