@@ -29,7 +29,9 @@ import time
 #: Flag a query when current_sec > REGRESSION_RATIO * baseline_sec
 #: (and the delta is non-trivial in absolute terms).
 REGRESSION_RATIO = 1.5
-_MIN_REGRESSION_ABS_SEC = 0.3
+#: sub-half-second deltas on this host are scheduler/GC noise, not
+#: regressions — single-run baselines vary ±20% at that scale
+_MIN_REGRESSION_ABS_SEC = 0.5
 
 
 def load_baseline(path: str, sf: str) -> dict[str, float]:
