@@ -218,6 +218,7 @@ HEADLINE = [
     "psi_drift_orders",
     "incremental_agg_maintenance",
     "pseudonymize_events",
+    "pretraining_data_pipeline",
 ]
 
 

@@ -8287,3 +8287,235 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("sum_value"),
         )
     )
+
+
+def _pretraining_pipeline_sql() -> str:
+    """DuckDB twin of the composed pretraining pipeline: every stage —
+    quality gate, exact dedup, md5-MinHash-LSH near-dup + recursive-CTE
+    clustering, shingle-overlap decontamination, per-source quota,
+    512-token packing — replayed in one SQL chain."""
+    from cid_etl_spark.operators.dedup import _hash_params
+
+    m = (1 << 31) - 1
+    params = _hash_params(16, 42)
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {m})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = ",\n               ".join(
+        "("
+        + " || ',' || ".join(f"m{b * 4 + r}::VARCHAR" for r in range(4))
+        + f") AS b{b}"
+        for b in range(4)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(4))
+    gram_expr = (
+        r"list_distinct(list_transform("
+        r"range(1, greatest(len(string_split_regex(t, '\s+')) - 2, 1) + 1),"
+        r" i -> array_to_string(string_split_regex(t, '\s+')[i:i+2], ' ')))"
+    )
+    # decontamination uses LONG grams (8 words, the GPT-3/PaLM-style
+    # contamination rule): 3-gram overlap would flag nearly every
+    # document against any benchmark set sharing a vocabulary
+    gram8_expr = (
+        r"list_distinct(list_transform("
+        r"range(1, greatest(len(string_split_regex(t, '\s+')) - 7, 1) + 1),"
+        r" i -> array_to_string(string_split_regex(t, '\s+')[i:i+7], ' ')))"
+    )
+    return rf"""
+    WITH RECURSIVE corpus0 AS (
+        SELECT doc_id, lang, source, n_chars, lower(trim(text)) AS t
+        FROM documents WHERE doc_id % 101 <> 0
+    ), quality AS (
+        SELECT * FROM corpus0
+        WHERE n_chars BETWEEN 100 AND 20000
+          AND len(string_split_regex(t, '\s+')) >= 20
+    ), exact AS (
+        SELECT * FROM quality
+        QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+    ), sh AS (
+        SELECT doc_id, {gram_expr} AS grams FROM exact
+    ), hv AS (
+        SELECT doc_id, grams,
+               list_transform(grams,
+                              g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hv
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, grams,
+               {mins}
+        FROM hv
+    ), banded AS (
+        SELECT doc_id, grams,
+               {bands}
+        FROM sig
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))), 4) >= 0.2
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), cc(node, label) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ), dropped AS (
+        SELECT node FROM cc GROUP BY node HAVING node <> MIN(label)
+    ), neardup_kept AS (
+        SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+    ), bench AS (
+        SELECT lower(trim(text)) AS t FROM documents
+        WHERE doc_id % 101 = 0
+          AND len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+    ), bench_grams AS (
+        SELECT DISTINCT unnest({gram8_expr}) AS g FROM bench
+    ), contaminated AS (
+        SELECT DISTINCT k.doc_id
+        FROM neardup_kept k, LATERAL unnest({gram8_expr}) u(g)
+        WHERE u.g IN (SELECT g FROM bench_grams)
+    ), clean AS (
+        SELECT * FROM neardup_kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), quota AS (
+        SELECT * FROM clean
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 200
+    ), toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(t, '\s+')) AS n_tok
+        FROM quota
+    ), packed AS (
+        SELECT lang, n_tok,
+               CAST(floor(coalesce(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 512.0) AS BIGINT) AS seq_id
+        FROM toks
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY lang
+    """
+
+
+@_register("pretraining_data_pipeline", _pretraining_pipeline_sql())
+def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a COMPLETE pretraining-data pipeline as ONE lazy
+    plan — quality gate → exact dedup → MinHash-LSH near-dup with
+    connected-component clustering → benchmark decontamination →
+    per-source quota → 512-token sequence packing → per-language
+    report — with every stage replayed by the DuckDB twin (the md5
+    hash family keeps the LSH engine-replicable).  This is the query a
+    reference user actually ships: the individual stages are each
+    oracled standalone elsewhere; this row proves they COMPOSE.
+
+    Scale sketch, stage by stage: the quality gate is scan-side; exact
+    dedup is one key-window; LSH is banded (never all-pairs) and the
+    verify join moves shingle arrays for candidates only; CC rounds
+    are bounded by dup-cluster diameter; decontamination explodes
+    grams once and probes a broadcast benchmark gram set map-side; the
+    quota is a per-source window; packing reuses the language
+    partitioning.  No stage funnels through the driver."""
+    from cid_etl_spark.operators.dedup import (
+        jaccard_similarity,
+        lsh_candidate_pairs,
+        md5_base_hash,
+        minhash_signature,
+        shingles,
+    )
+    from cid_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    corpus0 = docs.filter(F.col("doc_id") % 101 != 0)
+    quality = corpus0.filter(
+        F.col("n_chars").between(100, 20000) & (words >= 20)
+    ).select(
+        "doc_id", "lang", "source", "text",
+        F.lower(F.trim(F.col("text"))).alias("__t"),
+    )
+    w_exact = Window.partitionBy(F.md5(F.col("__t"))).orderBy("doc_id")
+    exact = (
+        quality.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sh = (
+        exact.select("doc_id", shingles("text", n=3).alias("__grams"))
+        .withColumn(
+            "__sig",
+            minhash_signature(
+                "__grams", num_hashes=16, seed=42, base_hash=md5_base_hash
+            ),
+        )
+        .persist()
+    )
+    cands = lsh_candidate_pairs(sh, "doc_id", "__sig", num_bands=4, hash_buckets=False)
+    g = sh.select("doc_id", "__grams")
+    pairs = (
+        cands.join(
+            g.select(F.col("doc_id").alias("id_a"), F.col("__grams").alias("__ga")),
+            "id_a",
+        )
+        .join(
+            g.select(F.col("doc_id").alias("id_b"), F.col("__grams").alias("__gb")),
+            "id_b",
+        )
+        .filter(
+            F.round(jaccard_similarity(F.col("__ga"), F.col("__gb")), 4) >= 0.2
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = exact.join(dropped, "doc_id", "left_anti")
+    bench = docs.filter((F.col("doc_id") % 101 == 0) & (words >= 8))
+    bench_grams = bench.select(
+        F.explode(shingles("text", n=8)).alias("g")
+    ).distinct()
+    contaminated = (
+        kept.select("doc_id", F.explode(shingles("text", n=8)).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    w_quota = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = (
+        clean.withColumn("__qrn", F.row_number().over(w_quota))
+        .filter(F.col("__qrn") <= 200)
+        .drop("__qrn")
+    )
+    toks = quota.select(
+        "doc_id", "lang", F.size(F.split(F.col("__t"), r"\s+")).alias("n_tok")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / 512.0).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
