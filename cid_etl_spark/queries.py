@@ -120,7 +120,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "flatten_props_udtf", "cosine_topk_ivf_fullprobe",
     "approx_distinct_users", "approx_percentile_lineitem",
     "hll_daily_users_events", "cosine_topk_lsh_probeall",
-    "media_image_features", "media_audio_features",
+    "media_image_features", "pretraining_data_pipeline",
     "embedding_outliers_by_label",
 )
 

@@ -39,6 +39,7 @@ SENSITIVE = (
     "curriculum_phases",         # global ntile boundary stability
     "bpe_train_rounds",          # 3 compounding argmax/merge rounds
     "salted_join_events_hot",    # salt derived from partition id
+    "pretraining_data_pipeline", # capstone: every stage composed
 )
 
 
