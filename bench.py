@@ -219,6 +219,7 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "pseudonymize_events",
     "pretraining_data_pipeline",
+    "partitioned_lake_roundtrip",
 ]
 
 

@@ -8519,3 +8519,48 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+@_register(
+    "partitioned_lake_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    """,
+)
+def partitioned_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout under a hard CORRECTNESS row (it
+    was tests-only): documents write to a lang-partitioned parquet
+    directory (sources.sinks.write_parquet_partitioned), the reader
+    filters two languages — which Spark satisfies by PRUNING to two
+    partition directories, never scanning the rest (PartitionFilters
+    in the plan; pinned in tests/test_sinks.py) — and the rollup must
+    equal the direct query on the source table, proving the layout
+    round-trip is lossless.  The write lands in a scratch dir keyed by
+    sf so concurrent scales don't collide; at 100 TB this shape is the
+    difference between reading one directory and reading the lake."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cid_etl_spark.sources.sinks import write_parquet_partitioned
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"cid_etl_lake_{key}", "documents_by_lang"
+    )
+    write_parquet_partitioned(d, path, partition_by="lang")
+    lake = spark.read.parquet(path)
+    return (
+        lake.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
