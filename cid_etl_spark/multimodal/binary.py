@@ -93,7 +93,10 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
     payload bytes.  Replace with e.g. PIL.Image.open for real data;
     the mapInPandas plumbing around it is already production-shaped.
     """
-    if payload is None or len(payload) == 0:
+    if payload is None or len(payload) < 3:
+        # the stub indexes payload[0..2]; short payloads take the same
+        # not-decodable branch as empty ones instead of IndexError-ing
+        # the whole mapInPandas stage
         raise NotImplementedError(
             "real image decode requires an imaging library not present "
             "in this environment"

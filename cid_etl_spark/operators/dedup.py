@@ -666,11 +666,35 @@ def simhash_dedup_pairs(
     xxhash64 signer) — e.g. an md5-based :func:`simhash_table` for
     engine-replicable fingerprints.
     """
-    n_chunks = min(max_hamming + 1, 32)
-    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
     if signer is None:
         signer = lambda d: simhash_table_arrow(d, id_col, text_col, n)  # noqa: E731
     fp = signer(df).select(F.col("__id"), F.col("__fp"))
+    return hamming_pairs_from_fingerprints(
+        fp, id_col="__id", fp_col="__fp", bits=bits, max_hamming=max_hamming
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    fp: DataFrame,
+    id_col: str = "__id",
+    fp_col: str = "__fp",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming pairs over PRECOMPUTED fingerprints.
+
+    Shared blocking core for any fixed-width fingerprint family —
+    SimHash over text shingles, perceptual hashes over decoded media,
+    quantized embedding sign patterns.  The *bits*-wide fingerprint is
+    split into ``max_hamming + 1`` chunks: two fingerprints within the
+    Hamming budget MUST agree on at least one chunk (pigeonhole), so
+    the self-join shuffles on (chunk_index, chunk_value) only — never
+    all-pairs — with guaranteed recall.  Emits ``(id_a, id_b,
+    hamming)`` with ``id_a < id_b``.
+    """
+    n_chunks = min(max_hamming + 1, 32)
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    fp = fp.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
     # 16 bytes per document — materialize so the chunk self-join's two
     # sides and the Hamming verify all reuse it instead of re-scanning
     # the corpus (same rationale as minhash_dedup_pairs).

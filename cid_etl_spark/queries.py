@@ -8564,3 +8564,60 @@ def partitioned_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R2-continuation: model-based quality filtering (north-star extension)
+# ---------------------------------------------------------------------------
+
+_QUALITY_CLASSIFIER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN string_split_regex(lower(trim(text)), '\s+')
+              ELSE [] END AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             tk -> ((('0x' || substr(md5(tk), 1, 7))::BIGINT % 4096)
+                    * 2654435761) % 4097 - 2048)) AS BIGINT), 0) AS margin
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, margin,
+         CASE WHEN n_tokens > 0
+              THEN round(1.0 / (1.0 + exp(-4.0 * (margin::DOUBLE
+                                                  / (n_tokens * 2048.0)))), 6)
+              ELSE 0.5 END AS quality_score
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       margin,
+       quality_score,
+       (n_tokens > 0 AND quality_score >= 0.5) AS keep
+FROM s
+"""
+
+
+@_register("quality_classifier_score", _QUALITY_CLASSIFIER_SQL)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: fastText-style hashed linear
+    classifier inference over every document (operators.classifier).
+
+    Tokenize → 28-bit md5 feature hash → 4096-way bucket → integer
+    weight via Knuth multiplicative mix → exact integer margin sum →
+    logistic link.  Entirely Column expressions inside whole-stage
+    codegen: map-only, zero shuffles, zero Python — the scan IS the
+    cost, so throughput at 100 TB is scan-bound.  The DuckDB oracle
+    replays hashing, bucketing, the weight mix, and the logistic
+    bit-for-bit; integer-first arithmetic means float associativity
+    can never flip a rounded score (module docstring has the trained-
+    weight swap-in path)."""
+    from cid_etl_spark.operators.classifier import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier(d, "doc_id", "text")
