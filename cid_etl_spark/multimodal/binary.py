@@ -203,3 +203,45 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
     )
+
+
+def _phash_image_stub(payload: bytes) -> int:
+    """STUB perceptual hash — 60 bits derived deterministically from
+    the payload (the ASCII hex form of the fake sha256 content, see
+    attach_fake_media).  A real pHash decodes the image, downsamples
+    to 8×8 luma, DCTs, and thresholds the low-frequency coefficients
+    against the median; identical content → identical hash, re-encoded
+    or slightly-edited content → small Hamming distance.  The stub
+    preserves exactly that contract on fake payloads: same content
+    bytes → same 60-bit hash."""
+    if payload is None or len(payload) < 15:
+        raise NotImplementedError(
+            "real perceptual hashing requires an imaging library not "
+            "present in this environment"
+        )
+    return int(payload[:15].decode("ascii"), 16)
+
+
+def perceptual_hash_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing: (media_id, payload) batches
+    in, ``(media_id, phash)`` out — the fingerprint stage feeding
+    operators.dedup.hamming_pairs_from_fingerprints for image
+    near-dup.  Payload bytes die here; downstream blocking moves
+    8 bytes per image, not the image."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        _phash_image_stub(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(ph, "media_id long, phash long")
+    )

@@ -337,6 +337,28 @@ def ngram_jaccard_pairs_exact(
     100 TB corpus scale, and any collision only perturbs one pair's
     count by 1).
     """
+    common = _shared_shingle_counts(df, id_col, text_col, n, block_col)
+    j = F.round(
+        F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")), 4
+    )
+    return (
+        common.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shared_shingle_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    block_col: str | None,
+) -> DataFrame:
+    """Inverted-index core shared by the exact set-similarity joins:
+    ``(id_a, id_b, __na, __nb, __common)`` for every pair sharing at
+    least one distinct n-gram shingle (see
+    :func:`ngram_jaccard_pairs_exact` for the cost model)."""
     ex = shingle_index_arrow(df, id_col, text_col, n, block_col).persist()
     ex.count()
     a = ex.select(
@@ -352,19 +374,48 @@ def ngram_jaccard_pairs_exact(
         "__g",
     )
     keys = (["__blk"] if block_col else []) + ["__g"]
-    common = (
+    return (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__common"))
     )
-    j = F.round(
-        F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")), 4
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs via the same inverted shingle
+    index as :func:`ngram_jaccard_pairs_exact`.
+
+    Containment ``|A ∩ B| / min(|A|, |B|)`` is the asymmetric
+    near-dup measure: a short document quoted or wholly embedded
+    inside a long one scores near 1.0 here while its Jaccard stays
+    tiny (the union is dominated by the long side) — the
+    boilerplate-wrapper / quote-farm / subset-page case Jaccard
+    misses entirely.  Same cost model as the Jaccard variant: work ∝
+    shingles actually shared, map-side partial aggregation, no pair
+    materialized without a common shingle (correct for any
+    ``threshold > 0``).  Emits ``(id_a, id_b, containment,
+    len_ratio)`` with ``round(containment, 4) >= threshold``;
+    ``len_ratio = min/max`` shingle-count ratio separates true
+    near-dups (ratio ≈ 1) from subset relations (ratio ≪ 1).
+    """
+    common = _shared_shingle_counts(df, id_col, text_col, n, block_col)
+    c = F.round(F.col("__common") / F.least("__na", "__nb"), 4)
+    r = F.round(
+        F.least("__na", "__nb") / F.greatest("__na", "__nb"), 4
     )
     return (
-        common.withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        common.withColumn("containment", c)
+        .withColumn("len_ratio", r)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "len_ratio")
     )
 
 

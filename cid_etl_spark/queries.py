@@ -8621,3 +8621,103 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return quality_classifier(d, "doc_id", "text")
+
+
+_CONTAINMENT_PAIRS_SQL = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             lang,
+             list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / least(len(a.grams), len(b.grams)), 4) AS containment,
+           round(CAST(least(len(a.grams), len(b.grams)) AS DOUBLE)
+                 / greatest(len(a.grams), len(b.grams)), 4) AS len_ratio
+    FROM sh a
+    JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) > 0
+      AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / least(len(a.grams), len(b.grams)), 4) >= 0.5
+    """
+
+
+@_register("ngram_containment_pairs", _CONTAINMENT_PAIRS_SQL)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / min(|A|,|B|)
+    with language blocking, via the same inverted shingle index as
+    ngram_jaccard_pairs (operators.dedup.ngram_containment_pairs).
+    Containment catches what Jaccard structurally cannot — a short
+    document quoted or embedded inside a long one scores ~1.0 here
+    while the union-dominated Jaccard stays tiny (quote farms,
+    boilerplate wrappers, subset pages).  len_ratio = min/max shingle
+    counts separates true near-dups (≈1) from subset relations (≪1).
+    Cost model unchanged: work ∝ shingles actually shared, never N²
+    per block."""
+    from cid_etl_spark.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, block_col="lang"
+    )
+
+
+_PHASH_NEARDUP_SQL = r"""
+    WITH img AS (
+      SELECT doc_id AS media_id, (doc_id // 3) % 40 AS grp
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    fp AS (
+      SELECT media_id,
+             xor(('0x' || substr(sha256(CAST(grp AS VARCHAR)), 1, 15))::BIGINT,
+                 media_id % 4) AS fp
+      FROM img
+    )
+    SELECT a.media_id AS id_a,
+           b.media_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a
+    JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """
+
+
+@_register("phash_image_neardup", _PHASH_NEARDUP_SQL)
+def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual-hash Hamming blocking: the
+    multimodal twin of SimHash text near-dup.  Payloads flow ONCE
+    through the Arrow-batched pHash stage
+    (multimodal.binary.perceptual_hash_images — 60-bit stub hash, real
+    mapInPandas plumbing), then blocking moves 8 bytes per image
+    through the SAME pigeonhole machinery SimHash uses
+    (operators.dedup.hamming_pairs_from_fingerprints) — never the
+    image, never all-pairs.  Fake media is seeded per GROUP
+    ((doc_id div 3) % 40) so re-encoded variants exist, and a ≤2-bit
+    XOR perturbation per member simulates re-encode jitter; the DuckDB
+    twin replays seeding, hashing, perturbation, and the Hamming
+    verify (all-pairs on the oracle side — guaranteed-recall blocking
+    must reproduce it exactly)."""
+    from cid_etl_spark.multimodal.binary import (
+        attach_fake_media,
+        perceptual_hash_images,
+    )
+    from cid_etl_spark.operators.dedup import hamming_pairs_from_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.withColumn("__seed", F.expr("(doc_id div 3) % 40"))
+    media = attach_fake_media(seeded, "doc_id", "__seed")
+    ph = perceptual_hash_images(media)
+    fp = ph.select(
+        "media_id",
+        F.col("phash").bitwiseXOR(F.col("media_id") % 4).alias("fp"),
+    )
+    pairs = hamming_pairs_from_fingerprints(
+        fp, id_col="media_id", fp_col="fp", bits=60, max_hamming=2
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int"))
