@@ -8721,3 +8721,83 @@ def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp, id_col="media_id", fp_col="fp", bits=60, max_hamming=2
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int"))
+
+
+_ZORDER_ROUNDTRIP_SQL = r"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 299
+      AND hour(ts) BETWEEN 6 AND 11
+    GROUP BY event_type
+    """
+
+
+@_register("zorder_lake_roundtrip", _ZORDER_ROUNDTRIP_SQL)
+def zorder_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered lake layout, driver-visible: events
+    write z-ordered on (user_id, hour-of-day) via sources.sinks
+    .zorder_write — range-partitioned and sorted by the interleaved
+    Morton key, so each parquet file covers a small RECTANGLE of the
+    2-D key space and a selective scan on EITHER dimension skips most
+    files on footer min-max stats (per-file rectangles ~16% of the key
+    space vs 100% under round-robin; pinned by tests/test_sinks.py).
+    The reader then runs a 2-D selective aggregate over the clustered
+    copy, and the oracle runs the same aggregate on the SOURCE table —
+    proving the layout round-trip is lossless, which is the property
+    that lets a 100 TB lake adopt the layout without a correctness
+    risk.  Writes land in an sf-keyed scratch dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cid_etl_spark.sources.sinks import zorder_write
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("__hr", F.hour("ts").cast("bigint"))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"cid_etl_zorder_{key}", "events_z")
+    zorder_write(e, "user_id", "__hr", path, n_files=8)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            F.col("user_id").between(100, 299) & F.col("__hr").between(6, 11)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(F.col("value").cast("decimal(18,4)"))).alias("sum_value"),
+        )
+    )
+
+
+_PARETO_SQL = r"""
+    SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+    FROM orders a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders b
+      WHERE b.o_totalprice > a.o_totalprice
+        AND b.o_orderdate > a.o_orderdate
+    )
+    """
+
+
+@_register("pareto_frontier_orders", _PARETO_SQL)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders maximizing both total price
+    and order date — 'no later order was also more expensive'.  The
+    oracle is the quadratic NOT EXISTS; the engine runs the
+    partition-prune-merge skyline (operators.skyline.pareto_frontier):
+    a parallel per-partition prune (window partitioned by partition
+    id — one balanced shuffle, no global sort) followed by a global
+    merge over the surviving candidates, whose size is governed by the
+    frontier, not the input.  Strict dominance in both dims means
+    price/date ties stay on the frontier in both engines."""
+    from cid_etl_spark.operators.skyline import pareto_frontier
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return pareto_frontier(o, "o_totalprice", "o_orderdate")
