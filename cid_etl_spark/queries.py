@@ -8801,3 +8801,126 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
     return pareto_frontier(o, "o_totalprice", "o_orderdate")
+
+
+_BIGRAM_LM_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 4) AS bigram_xent
+    FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY b.doc_id
+    """
+
+
+@_register("bigram_lm_score", _BIGRAM_LM_SQL)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-perplexity: every document scored by mean
+    negative log-probability of its word bigrams under the corpus's
+    own add-k-smoothed bigram model — one modeling step past
+    unigram_logprob_score (context-conditioned, so scrambled word
+    order now raises the score even when the word multiset is typical).
+    Counts flow exactly like the unigram path: the bigram table and
+    the context-count table aggregate with map-side combine, then
+    broadcast back over the bigram stream (vocab-sized, not
+    corpus-sized); the only wide shuffle is the final per-doc rollup.
+    Smoothing is add-0.5 over the successor vocabulary V; documents
+    with fewer than two tokens have no bigrams and drop out in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bgarr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bgarr).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    v = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("bigram_xent"),
+        )
+    )
+
+
+_CHAR_ENTROPY_SQL = r"""
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS c
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+      WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+      FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT cnt.doc_id,
+           tot.n_distinct_chars,
+           round(-sum((k / n) * log2(k / n)), 4) AS char_entropy_bits
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id, tot.n_distinct_chars
+    """
+
+
+@_register("char_entropy_documents", _CHAR_ENTROPY_SQL)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the Gopher-style
+    gibberish/compression signal (base64 blobs and key-mash score far
+    from prose's ~4.1 bits; repeated-char padding scores near zero).
+    The per-(doc, char) count explodes one row per character but
+    map-side partial aggregation collapses each partition to at most
+    |docs×alphabet| rows before the shuffle — the wire cost is the
+    ALPHABET per document, not the text length, which is what makes
+    the shape safe at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.col("text").substr(i, F.lit(1)),
+    )
+    ch = d.select("doc_id", F.explode(chars).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+    )
+    p = F.col("k") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct_chars")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"))
+    )
