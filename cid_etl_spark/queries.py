@@ -8924,3 +8924,129 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_distinct_chars")
         .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"))
     )
+
+
+_OOV_RATE_SQL = r"""
+    WITH split AS (
+      SELECT doc_id,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                       >= '3333333333333333333333333333333333'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+      SELECT DISTINCT token
+      FROM tok JOIN split USING (doc_id)
+      WHERE split = 'train'
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.token IS NULL) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (v.token IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t
+    JOIN split s USING (doc_id)
+    LEFT JOIN vocab v USING (token)
+    WHERE s.split = 'eval'
+    GROUP BY t.lang
+    """
+
+
+@_register("oov_rate_by_split", _OOV_RATE_SQL)
+def oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocab-drift diagnostic: build the vocabulary from the
+    deterministic TRAIN split (same md5 threshold as
+    holdout_split_documents — a doc never migrates) and measure the
+    out-of-vocabulary token rate on the held-out split, per language.
+    This is the eval-hygiene check run before freezing a tokenizer:
+    a language whose eval OOV rate spikes is under-represented in
+    train.  The vocab is distinct-token-sized and broadcasts back over
+    the eval token stream; the only wide shuffle is the vocab distinct
+    and the final per-language rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = F.when(
+        h >= "3333333333333333333333333333333333", "train"
+    ).otherwise("eval")
+    sp = d.select("doc_id", split.alias("split"))
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        tok.join(sp, "doc_id")
+        .filter(F.col("split") == "train")
+        .select("token")
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    ev = tok.join(sp, "doc_id").filter(F.col("split") == "eval")
+    return (
+        ev.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_if(F.col("__known").isNull()).cast("bigint").alias("n_oov"),
+            F.round(
+                F.count_if(F.col("__known").isNull()).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_EXPORT_SHARDS_SQL = r"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS hv,
+             CASE WHEN length(trim(text)) > 0
+                  THEN len(string_split_regex(lower(trim(text)), '\s+'))
+                  ELSE 0 END AS n_tok
+      FROM documents
+    )
+    SELECT hv % 16 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(hv) AS min_hash,
+           max(hv) AS max_hash
+    FROM h GROUP BY hv % 16
+    """
+
+
+@_register("export_shards_report", _EXPORT_SHARDS_SQL)
+def export_shards_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-and-shard for training export:
+    shard and intra-shard order are pure functions of an EPOCH-KEYED
+    content hash (md5('epoch1|' || doc_id)), so the training order is
+    reproducible run-to-run, re-shufflable per epoch by changing the
+    key, and assignment needs NO shuffle at all — the only exchange is
+    the per-shard report rollup.  min/max_hash certify the hash-order
+    range each shard would cover when written sorted (the writer-side
+    twin is repartitionByRange + sortWithinPartitions on hv, the same
+    layout discipline zorder_write applies in 2-D).  Balance check:
+    16 shards of a hash-uniform key stay within sampling noise of
+    equal, with no coordinator involved."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("epoch1|"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(
+            (hv % 16).alias("shard_id"),
+            hv.alias("__hv"),
+            token_count("text").cast("bigint").alias("__ntok"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__ntok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("__hv").alias("min_hash"),
+            F.max("__hv").alias("max_hash"),
+        )
+    )
