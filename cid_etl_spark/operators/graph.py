@@ -249,3 +249,76 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census via degree-oriented wedge joins — the
+    distributed "compact-forward" scheme (Latapy 2008; the same
+    orientation trick MapReduce/Spark triangle counters use).
+
+    Naive closure counting joins the edge list to itself on arbitrary
+    endpoints, and a single hub of degree d contributes d² wedge rows —
+    the skew that kills web/retail graphs.  Orienting every edge from
+    its LOWER (degree, id) endpoint to the higher caps every node's
+    out-degree at O(√m), so the wedge join emits Σ out-deg² = O(m^1.5)
+    rows total regardless of hubs, and each triangle materializes
+    exactly once (its smallest-ordered vertex is the pivot).
+
+    Three shuffles end-to-end: undirected dedup, the degree count, and
+    the wedge/closure joins (AQE broadcasts the oriented list when it
+    fits).  Emits ONE summary row: node/edge/wedge/triangle counts and
+    the global clustering coefficient ``3·triangles / unoriented
+    wedges`` (wedges = Σ d(d−1)/2).
+    """
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    e = edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+    e = e.persist()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist()
+    o.count()
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    lt = (F.col("o1.db") < F.col("o2.db")) | (
+        (F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b"))
+    )
+    wedges = o1.join(o2, (F.col("o1.a") == F.col("o2.a")) & lt).select(
+        F.col("o1.b").alias("x"), F.col("o2.b").alias("y")
+    )
+    closed = wedges.join(
+        o.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_semi"
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(sum(d * (d - 1)) AS BIGINT) div 2").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

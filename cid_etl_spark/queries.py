@@ -9050,3 +9050,68 @@ def export_shards_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__hv").alias("max_hash"),
         )
     )
+
+
+_TRIANGLE_SQL = r"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ), w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+      FROM deg
+    )
+    SELECT w.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           w.n_wedges,
+           tri.t AS n_triangles,
+           round(3.0 * tri.t / w.n_wedges, 6) AS clustering
+    FROM w, tri
+    """
+
+
+@_register("triangle_census_copurchase", _TRIANGLE_SQL)
+def triangle_census_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + global clustering coefficient of the
+    support-≥2 co-purchase graph (operators.graph.triangle_count).
+    The engine uses degree-oriented wedge joins — every edge points
+    from its lower-(degree, id) endpoint, capping out-degrees at O(√m)
+    so hub skew cannot blow the wedge join up to degree² rows (the
+    failure mode of naive closure counting on retail/web graphs); the
+    oracle counts the same triangles with the quadratic three-way
+    self-join.  Support ≥ 2 prunes single-co-occurrence noise edges
+    the same way phrase-mining pipelines do."""
+    from cid_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey").repartition("l_orderkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= 2)
+        .drop("__support")
+    )
+    return triangle_count(edges, "src", "dst")
