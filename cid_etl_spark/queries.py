@@ -9115,3 +9115,91 @@ def triangle_census_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__support")
     )
     return triangle_count(edges, "src", "dst")
+
+
+_KMV_SQL = r"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), kk AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS hk
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type,
+           ex.exact_users,
+           CASE WHEN kk.n_kept < 64 THEN CAST(kk.n_kept AS DOUBLE)
+                ELSE round(63.0 / (kk.hk / 1152921504606846976.0), 4)
+           END AS kmv_estimate,
+           round(abs(CASE WHEN kk.n_kept < 64 THEN CAST(kk.n_kept AS DOUBLE)
+                          ELSE round(63.0 / (kk.hk / 1152921504606846976.0), 4)
+                     END - ex.exact_users) / ex.exact_users, 4) AS rel_error
+    FROM ex JOIN kk USING (event_type)
+    """
+
+
+@_register("kmv_distinct_users", _KMV_SQL)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per event_type, built
+    from composition alone — no UDAF, no engine sketch: keep the k=64
+    smallest 60-bit md5 hashes of the key and estimate
+    ``(k-1)/h_(k)``; below k distinct the sketch IS the exact count.
+    Because the hash is engine-replicable the DuckDB twin reproduces
+    the ESTIMATE bit-for-bit — a strictly harder check than the HLL
+    entry's 5%-tolerance boolean (approx_distinct_users), where the
+    sketch internals are engine-specific.  Merge shape: a salted
+    partial pass bounds the final per-key shuffle at 32·k survivor
+    hashes regardless of key cardinality — the same partial/merge
+    discipline any mergeable sketch needs at 100 TB.  The exact count
+    rides along only to exhibit the realized relative error."""
+    e = load_table(spark, sf_dir, "events")
+    k = 64
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = e.select("event_type", hv.alias("hv")).distinct()
+    # partial: k smallest within each of 32 salt lanes -> ≤ 32k rows/key
+    part = h.withColumn("__salt", F.pmod(F.col("hv"), F.lit(32)))
+    w1 = Window.partitionBy("event_type", "__salt").orderBy("hv")
+    survivors = (
+        part.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    # merge: global k smallest per key over the bounded survivor set
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    kept = (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("hv").alias("hk"),
+        )
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / (F.col("hk") / F.lit(float(1 << 60))), 4)
+    )
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        ex.join(kept, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4
+            ).alias("rel_error"),
+        )
+    )
