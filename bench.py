@@ -220,6 +220,20 @@ HEADLINE = [
     "pseudonymize_events",
     "pretraining_data_pipeline",
     "partitioned_lake_roundtrip",
+    # round 2 (cont., session 3): quality models, asymmetric/multimodal
+    # dedup, layout, graph census, sketches
+    "quality_classifier_score",
+    "ngram_containment_pairs",
+    "phash_image_neardup",
+    "zorder_lake_roundtrip",
+    "pareto_frontier_orders",
+    "bigram_lm_score",
+    "char_entropy_documents",
+    "oov_rate_by_split",
+    "export_shards_report",
+    "triangle_census_copurchase",
+    "kmv_distinct_users",
+    "cogroup_click_purchase",
 ]
 
 

@@ -9203,3 +9203,80 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+_COGROUP_ATTRIB_SQL = r"""
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT p.user_id,
+             (SELECT count(*) FROM c
+              WHERE c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts < p.ts) AS n
+      FROM p
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (n > 0) AS BIGINT) AS n_attributed,
+           CAST(sum(n) AS BIGINT) AS prior_clicks
+    FROM j GROUP BY user_id
+    """
+
+
+@_register("cogroup_click_purchase", _COGROUP_ATTRIB_SQL)
+def cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped-map UDF surface: ``groupBy().cogroup()
+    .applyInPandas`` aligns each user's click and purchase streams in
+    ONE Arrow batch pair — the API for per-key logic that needs BOTH
+    relations materialized together (sequence alignment, per-key
+    reconciliation, custom as-of semantics) where a join would explode
+    rows or a single-sided grouped map would need a pre-join.  Inside
+    the batch the count of clicks in the hour before each purchase is
+    two vectorized searchsorted calls, not a per-row scan.  Shuffle
+    profile: one hash exchange per side on user_id — identical to the
+    join plan — and per-key memory is one user's events, the same
+    bound the EWMA grouped-map carries.  Oracle: correlated COUNT
+    subquery per purchase, rolled up per user."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def align(key, cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        if len(pu) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_attributed": pd.Series([], dtype="int64"),
+                    "prior_clicks": pd.Series([], dtype="int64"),
+                }
+            )
+        c = np.sort(cl["ts"].to_numpy()) if len(cl) else np.array([], dtype="datetime64[us]")
+        p = pu["ts"].to_numpy()
+        lo = np.searchsorted(c, p - np.timedelta64(3600, "s"), side="left")
+        hi = np.searchsorted(c, p, side="left")
+        n = (hi - lo).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [int(len(p))],
+                "n_attributed": [int((n > 0).sum())],
+                "prior_clicks": [int(n.sum())],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, n_purchases long, n_attributed long, prior_clicks long",
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
