@@ -234,6 +234,7 @@ HEADLINE = [
     "triangle_census_copurchase",
     "kmv_distinct_users",
     "cogroup_click_purchase",
+    "embedding_norms_arrow",
 ]
 
 

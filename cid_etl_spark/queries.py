@@ -9280,3 +9280,59 @@ def cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_purchases") > 0)
     )
+
+
+_ARROW_NORMS_SQL = r"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """
+
+
+@_register("embedding_norms_arrow", _ARROW_NORMS_SQL)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: per-vector L2 norms computed on RAW
+    Arrow RecordBatches — the list<float> column's flat values buffer
+    reshapes into a numpy matrix with ZERO copies and no pandas object
+    boxing (``applyInPandas``/``mapInPandas`` would materialize one
+    Python list-of-floats per row first, the dominant cost for
+    array-typed columns at scale).  This is the right UDF tier for
+    dense-vector math over 100 TB of embeddings: bytes stay columnar
+    from parquet through Arrow into BLAS.  Falls back to per-row
+    summation only if a batch arrives ragged (mixed dims), so the
+    fast path is taken exactly when the data is truly fixed-width."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = np.diff(col.offsets.to_numpy())
+            # flatten() honors a sliced array's offset; .values would
+            # hand back the unsliced buffer and misalign every row
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            if len(set(lens.tolist())) == 1 and len(lens):
+                mat = flat.reshape(len(lens), int(lens[0]))
+                l2 = np.sqrt((mat * mat).sum(axis=1))
+            else:
+                # ragged fallback: segment sums over the flat buffer
+                idx = np.repeat(np.arange(len(lens)), lens)
+                l2 = np.sqrt(np.bincount(idx, weights=flat * flat,
+                                         minlength=len(lens)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens.astype("int32")),
+                    pa.array(np.round(l2, 6)),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, dim int, l2_norm double")
