@@ -235,6 +235,7 @@ HEADLINE = [
     "kmv_distinct_users",
     "cogroup_click_purchase",
     "embedding_norms_arrow",
+    "lpa_communities_copurchase",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -322,3 +323,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan 2007) with a DETERMINISTIC tie-break, as fixed lazy
+    join+aggregate rounds — the same engine-replicable discipline as
+    :func:`pagerank` (a convergence test or random tie-break would
+    make the result run-dependent and un-oracle-able).
+
+    Every node starts in its own community (label = node id); each
+    round every node adopts the most common label among its neighbors,
+    ties broken by SMALLEST label.  Updates are synchronous (all votes
+    read the previous round's labels), so the result is a pure
+    function of the graph.  Per round: one edge⋈label join (AQE
+    broadcasts the label table when it fits) and one (node, label)
+    count + per-node argmax — shuffle keyed by node, partial
+    aggregation map-side.  ``localCheckpoint`` every
+    *checkpoint_every* rounds truncates the growing lineage exactly as
+    the other iterative operators do.
+
+    Input edges are treated as UNDIRECTED (symmetrized here);
+    disconnected input nodes never appear (edge-derived node set).
+    Returns ``(node, community)``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for r in range(rounds):
+        votes = (
+            adj.join(labels, adj.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -9096,24 +9096,7 @@ def triangle_census_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way phrase-mining pipelines do."""
     from cid_etl_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        li.select("l_orderkey", "l_partkey").repartition("l_orderkey").distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__support"))
-        .filter(F.col("__support") >= 2)
-        .drop("__support")
-    )
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
     return triangle_count(edges, "src", "dst")
 
 
@@ -9336,3 +9319,81 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id long, dim int, l2_norm double")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int = 2) -> DataFrame:
+    """Support-thresholded co-purchase edge list (u=src < v=dst), the
+    shared input of the graph-census queries: one basket-keyed
+    self-join (pair blowup bounded by basket², same plan as
+    copurchase_part_pairs) + a support filter pruning
+    single-co-occurrence noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey").repartition("l_orderkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= min_support)
+        .drop("__support")
+    )
+
+
+def _lpa_sql(rounds: int = 4, min_support: int = 2) -> str:
+    """Unrolled DuckDB twin of the fixed-round synchronous LPA — every
+    round is one join + vote count + QUALIFY argmax, mirroring
+    operators.graph.label_propagation exactly (same deterministic
+    count-desc/label-asc tie-break)."""
+    steps = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    v{r} AS (
+      SELECT a.v AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+      FROM adj a JOIN {prev} l ON a.u = l.node
+      GROUP BY a.v, l.label
+    ),
+    l{r} AS (
+      SELECT node, label FROM v{r}
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    ),
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),{",".join(steps)}
+    SELECT node, label AS community FROM {prev}
+    """
+
+
+@_register("lpa_communities_copurchase", _lpa_sql())
+def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the support-≥2 co-purchase graph via
+    fixed-round synchronous label propagation
+    (operators.graph.label_propagation): every node adopts its
+    neighbors' majority label each round, ties to the smallest label —
+    a deterministic variant of LPA whose result is a pure function of
+    the graph, which is what lets DuckDB replay all four rounds
+    symbolically (the usual async/random-tie LPA is unverifiable by
+    construction).  Complements the census suite: connected components
+    give reachability, PageRank gives centrality, LPA gives mesoscale
+    structure — same per-round cost model as both (one keyed shuffle,
+    label table broadcast when it fits, lineage checkpoint-truncated)."""
+    from cid_etl_spark.operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    return label_propagation(edges, "src", "dst", rounds=4)
