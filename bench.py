@@ -236,6 +236,7 @@ HEADLINE = [
     "cogroup_click_purchase",
     "embedding_norms_arrow",
     "lpa_communities_copurchase",
+    "jl_projection_embeddings",
 ]
 
 

@@ -9397,3 +9397,62 @@ def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir, min_support=2)
     return label_propagation(edges, "src", "dst", rounds=4)
+
+
+def _jl_projection_sql(out_dims: int = 4) -> str:
+    """DuckDB twin of the deterministic JL projection: each output
+    coordinate is a seed-derived signed-weight dot product over the
+    embedding, replayed term-by-term."""
+    cols = ",\n           ".join(
+        "round(list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"((('0x' || substr(md5(i::VARCHAR || '_{j}'), 1, 7))::BIGINT "
+        f"% 2001 - 1000) / 1000.0))), 4) AS p{j}"
+        for j in range(out_dims)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings
+    """
+
+
+@_register("jl_projection_embeddings", _jl_projection_sql())
+def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to 4 dims with a
+    DETERMINISTIC projection matrix — every weight w(i, j) derives
+    from md5(dim_index || component), so the reduction is reproducible
+    run-to-run, needs no fitted model or driver state, and the oracle
+    replays every dot product exactly (PCA by contrast is
+    eigen-solver- and sign-ambiguous — unverifiable bit-for-bit).
+    Map-only Column expressions: at 100 TB this is the shuffle-free
+    pre-step that shrinks embeddings before LSH/IVF indexing or
+    near-dup blocking, trading dimensionality for distance distortion
+    bounded by the JL lemma.  Weights are uniform in [-1, 1] (signed
+    md5 mix).  Because w(i, j) is data-INDEPENDENT, the matrix is
+    hashed once on the driver and inlined as literal arrays — the
+    executors run multiply-add only; hashing per element inside the
+    lambda would pay the interpreted md5 path per value (~16 µs/term,
+    measured for the verification-only suites) for values that never
+    change."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_dim = 256
+
+    def w(i: int, j: int) -> float:
+        hv = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:7], 16)
+        return (hv % 2001 - 1000) / 1000.0
+
+    def proj(j: int):
+        weights = F.array(*[F.lit(w(i, j)) for i in range(1, max_dim + 1)])
+        terms = F.zip_with(
+            F.col("embedding"),
+            F.slice(weights, 1, F.size("embedding")),
+            lambda x, wt: x.cast("double") * wt,
+        )
+        return F.round(
+            F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias(f"p{j}")
+
+    return emb.select("vec_id", *[proj(j) for j in range(4)])
