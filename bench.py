@@ -237,6 +237,9 @@ HEADLINE = [
     "embedding_norms_arrow",
     "lpa_communities_copurchase",
     "jl_projection_embeddings",
+    "ab_test_events",
+    "top_session_paths",
+    "binaryfile_ingest_roundtrip",
 ]
 
 

@@ -9456,3 +9456,234 @@ def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{j}")
 
     return emb.select("vec_id", *[proj(j) for j in range(4)])
+
+
+_BINARYFILE_SQL = r"""
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_bytes,
+           substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS head8
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """
+
+
+@_register("binaryfile_ingest_roundtrip", _BINARYFILE_SQL)
+def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media-lake ingestion path: one file per asset on disk,
+    read back through Spark's built-in ``binaryFile`` source (path,
+    modificationTime, length, content) — the production entry point
+    the multimodal suite's attach_fake_media stands in for.  The
+    fixture stage materializes one file per sampled document (payload
+    = sha256 hex of the id, name = the id), the reader parses the id
+    back OUT of the file path with a codegen regexp, and the oracle
+    recomputes payload length and head bytes from first principles —
+    so a hash-match proves the bytes survived the filesystem
+    round-trip intact.  At 100 TB the same reader fans out over object
+    storage with `pathGlobFilter`/`recursiveFileLookup`; content bytes
+    then feed the Arrow decode stages (decode_image_features,
+    perceptual_hash_images) unchanged."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in d.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    media_dir = os.path.join(tempfile.gettempdir(), f"cid_etl_binmedia_{key}")
+    os.makedirs(media_dir, exist_ok=True)
+    for i in ids:
+        p = os.path.join(media_dir, f"asset_{i}.bin")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(hashlib.sha256(str(i).encode()).hexdigest().encode("ascii"))
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(media_dir)
+    )
+    return bin_df.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.decode(F.substring(F.col("content"), 1, 8), "UTF-8").alias("head8"),
+    )
+
+
+_AB_TEST_SQL = r"""
+    WITH assign AS (
+      SELECT user_id % 2 AS variant, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ), g AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(conv) AS cr,
+             avg(value) AS mean_value,
+             var_samp(value) AS var_value
+      FROM assign GROUP BY variant
+    ), w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 0 THEN cr END) AS cr0,
+             max(CASE WHEN variant = 1 THEN cr END) AS cr1,
+             max(CASE WHEN variant = 0 THEN mean_value END) AS m0,
+             max(CASE WHEN variant = 1 THEN mean_value END) AS m1,
+             max(CASE WHEN variant = 0 THEN var_value END) AS v0,
+             max(CASE WHEN variant = 1 THEN var_value END) AS v1,
+             (max(CASE WHEN variant = 0 THEN cr END) * max(CASE WHEN variant = 0 THEN n END)
+              + max(CASE WHEN variant = 1 THEN cr END) * max(CASE WHEN variant = 1 THEN n END))
+             / (max(CASE WHEN variant = 0 THEN n END) + max(CASE WHEN variant = 1 THEN n END)) AS p_pool
+      FROM g
+    )
+    SELECT n0, n1,
+           round(cr0, 6) AS cr0, round(cr1, 6) AS cr1,
+           round((cr1 - cr0) / sqrt(p_pool * (1 - p_pool) * (1.0/n0 + 1.0/n1)), 4)
+             AS conv_z,
+           round((m1 - m0) / sqrt(v0/n0 + v1/n1), 4) AS value_z,
+           abs((cr1 - cr0) / sqrt(p_pool * (1 - p_pool) * (1.0/n0 + 1.0/n1))) > 1.96
+             AS conv_significant_95
+    FROM w
+    """
+
+
+@_register("ab_test_events", _AB_TEST_SQL)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout as one aggregation pass: deterministic
+    variant assignment (user_id parity — in production a salted hash,
+    same shape), then a two-proportion z-test on conversion and a
+    Welch z on order value, pivoted to a single decision row.  The
+    whole readout is two shuffles (per-variant moments, 1-row pivot) —
+    no per-user state, no collect — which is why the same plan serves
+    a 100 TB event log.  Moments (avg/var_samp) are the only floats
+    and are rounded once at the decision edge; the oracle replays the
+    identical pooled-variance arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    g = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("conv").alias("cr"),
+        F.avg("value").alias("mean_value"),
+        F.var_samp("value").alias("var_value"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("cr"))).alias("cr0"),
+        F.max(F.when(F.col("variant") == 1, F.col("cr"))).alias("cr1"),
+        F.max(F.when(F.col("variant") == 0, F.col("mean_value"))).alias("m0"),
+        F.max(F.when(F.col("variant") == 1, F.col("mean_value"))).alias("m1"),
+        F.max(F.when(F.col("variant") == 0, F.col("var_value"))).alias("v0"),
+        F.max(F.when(F.col("variant") == 1, F.col("var_value"))).alias("v1"),
+    ).withColumn(
+        "p_pool",
+        (F.col("cr0") * F.col("n0") + F.col("cr1") * F.col("n1"))
+        / (F.col("n0") + F.col("n1")),
+    )
+    conv_z = (F.col("cr1") - F.col("cr0")) / F.sqrt(
+        F.col("p_pool")
+        * (1 - F.col("p_pool"))
+        * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    value_z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    return w.select(
+        "n0",
+        "n1",
+        F.round("cr0", 6).alias("cr0"),
+        F.round("cr1", 6).alias("cr1"),
+        F.round(conv_z, 4).alias("conv_z"),
+        F.round(value_z, 4).alias("value_z"),
+        (F.abs(conv_z) > 1.96).alias("conv_significant_95"),
+    )
+
+
+_SESSION_PATHS_SQL = r"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ), paths AS (
+      SELECT user_id, sess_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """
+
+
+@_register("top_session_paths", _SESSION_PATHS_SQL)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over sessionized behavior: 30-minute-gap
+    sessions (the same lag+cumsum sessionization sessionize_events
+    uses), each session reduced to its first-3-event path, top-20
+    paths ranked with a full tie-break.  The path build is
+    collect+sort WITHIN a (user, session) group — bounded by session
+    length, never by user history — and the ranking is a
+    TakeOrderedAndProject heap, so the plan holds on a 100 TB event
+    log where per-user state would not.  Path strings make funnel
+    anomalies legible ('view>view>purchase' vs 'error>error>error')."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            - prev_ts.cast("timestamp_ltz").cast("long")
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", new_sess.alias("__new")
+    ).withColumn(
+        "sess_id",
+        F.sum("__new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s.getField("event_type"),
+                    ),
+                    1,
+                    3,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
