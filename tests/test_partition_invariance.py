@@ -40,6 +40,13 @@ SENSITIVE = (
     "bpe_train_rounds",          # 3 compounding argmax/merge rounds
     "salted_join_events_hot",    # salt derived from partition id
     "pretraining_data_pipeline", # capstone: every stage composed
+    # round-2 continuation, session 3
+    "pareto_frontier_orders",    # local-prune bucket must not leak into result
+    "triangle_census_copurchase",# orientation + wedge join over any layout
+    "lpa_communities_copurchase",# synchronous vote rounds, argmax tie-break
+    "kmv_distinct_users",        # salted partial k-minima merge
+    "phash_image_neardup",       # banded Hamming self-join
+    "top_session_paths",         # per-session collect+sort, heap top-k
 )
 
 
