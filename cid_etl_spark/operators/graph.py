@@ -274,7 +274,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     u = F.least(F.col(src), F.col(dst)).alias("u")
     v = F.greatest(F.col(src), F.col(dst)).alias("v")
     e = edges.select(u, v).filter(F.col("u") != F.col("v")).distinct()
-    e = e.persist()
+    # localCheckpoint (not persist): e and o are each consumed by
+    # several downstream branches AND by the three crossJoined summary
+    # aggregates — truncating lineage keeps the final plan a handful
+    # of nodes instead of re-printing the whole derivation under every
+    # cached-subtree reference (execution would reuse the cache either
+    # way; the scheduler and the plan audit should see the small plan)
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -292,8 +298,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).persist()
-    o.count()
+    ).localCheckpoint(eager=True)
     o1, o2 = o.alias("o1"), o.alias("o2")
     lt = (F.col("o1.db") < F.col("o2.db")) | (
         (F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b"))

@@ -8833,10 +8833,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     own add-k-smoothed bigram model — one modeling step past
     unigram_logprob_score (context-conditioned, so scrambled word
     order now raises the score even when the word multiset is typical).
-    Counts flow exactly like the unigram path: the bigram table and
-    the context-count table aggregate with map-side combine, then
-    broadcast back over the bigram stream (vocab-sized, not
-    corpus-sized); the only wide shuffle is the final per-doc rollup.
+    Counts aggregate with map-side combine; the vocab-sized context
+    table broadcasts back over the bigram stream, while the bigram
+    table (O(distinct bigrams), potentially V²) joins under AQE —
+    broadcast while it fits, (w1, w2)-keyed shuffle join at corpus
+    scale; the remaining wide shuffle is the final per-doc rollup.
     Smoothing is add-0.5 over the successor vocabulary V; documents
     with fewer than two tokens have no bigrams and drop out in both
     engines."""
@@ -8857,8 +8858,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     v = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    # c2 is O(distinct bigrams) — NOT vocab-sized — so no forced
+    # broadcast: AQE broadcasts it while it fits and falls back to a
+    # (w1, w2)-keyed shuffle join at corpus scale.  c1 (context vocab)
+    # and the 1-row v stay broadcast.
     return (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
+        bg.join(c2, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .join(F.broadcast(v))
         .groupBy("doc_id")
