@@ -240,6 +240,10 @@ HEADLINE = [
     "ab_test_events",
     "top_session_paths",
     "binaryfile_ingest_roundtrip",
+    "bfs_distances_copurchase",
+    "dedup_rate_by_source",
+    "mad_outliers_events",
+    "seasonal_naive_mape_orders",
 ]
 
 

@@ -383,3 +383,47 @@ def label_propagation(
         if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Unweighted shortest-path distances from a source set via
+    fixed-round frontier relaxation (synchronous BFS) — the third
+    member of the iterative family (CC, PageRank, LPA) under the same
+    engine-replicable discipline: a FIXED round count, so distances
+    are exact for all nodes within *rounds* hops and the oracle can
+    unroll the rounds symbolically.
+
+    Each round unions the current distance table with every neighbor
+    relaxation ``dist(u) + 1`` and takes the per-node minimum — one
+    keyed shuffle with map-side partial min, label table broadcast by
+    AQE while it fits.  Nodes beyond the horizon simply don't appear
+    (no infinity sentinel to disagree about).  *sources* is a
+    one-column DataFrame of seed nodes at distance 0.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("int").alias("dist")
+    )
+    for r in range(rounds):
+        relax = adj.join(dist, adj.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (r + 1) % 2 == 0 and r + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -9692,3 +9692,213 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+def _bfs_sql(rounds: int = 4, min_support: int = 2) -> str:
+    """Unrolled DuckDB twin of fixed-round BFS relaxation."""
+    steps = []
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS (
+      SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+        SELECT a.v AS node, d.dist + 1 AS dist
+        FROM adj a JOIN {prev} d ON a.u = d.node
+        UNION ALL
+        SELECT node, dist FROM {prev}
+      ) GROUP BY node
+    )""")
+        prev = f"d{r}"
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    ),
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    d0 AS (SELECT min(u) AS node, CAST(0 AS INTEGER) AS dist FROM adj),{",".join(steps)}
+    SELECT node, dist FROM {prev}
+    """
+
+
+@_register("bfs_distances_copurchase", _bfs_sql())
+def bfs_distances_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path distances (4-hop horizon) from the
+    smallest part in the support-≥2 co-purchase graph
+    (operators.graph.bfs_distances) — 'what can a recommendation reach
+    in k hops'.  Fixed-round synchronous relaxation keeps the result a
+    pure function of the graph so the oracle unrolls every round; each
+    round is one keyed shuffle with map-side partial min, the same
+    cost model as CC/PageRank/LPA.  Nodes beyond the horizon are
+    absent rather than carrying an infinity sentinel."""
+    from cid_etl_spark.operators.graph import bfs_distances
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    seed = (
+        edges.select(F.least("src", "dst").alias("n"))
+        .agg(F.min("n").alias("node"))
+    )
+    return bfs_distances(edges, seed, "src", "dst", rounds=4)
+
+
+_DEDUP_RATE_SQL = r"""
+    WITH h AS (
+      SELECT source,
+             md5(array_to_string(
+                 string_split_regex(lower(trim(text)), '\s+')[1:10], ' ')) AS hh
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT source, hh, CAST(count(*) AS BIGINT) AS c
+      FROM h GROUP BY source, hh
+    ), spread AS (
+      SELECT hh, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM h GROUP BY hh
+    )
+    SELECT g.source,
+           CAST(sum(g.c) AS BIGINT) AS n_docs,
+           CAST(sum(g.c) - count(*) AS BIGINT) AS n_redundant,
+           round(CAST(sum(g.c) - count(*) AS DOUBLE) / sum(g.c), 6) AS dup_rate,
+           CAST(sum(CASE WHEN s.n_sources > 1 THEN g.c ELSE 0 END) AS BIGINT)
+             AS n_cross_source
+    FROM g JOIN spread s USING (hh)
+    GROUP BY g.source
+    """
+
+
+@_register("dedup_rate_by_source", _DEDUP_RATE_SQL)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per ingestion source, how much of the feed
+    is redundant (same first-10-token head fingerprint within the
+    source — the repost-family key headdup_keep_longest survives by)
+    and how much is syndicated (fingerprint shared with ANOTHER
+    source) — the report that decides which feeds are worth
+    re-crawling and which near-dup thresholds matter.  Two
+    fingerprint-keyed shuffles with map-side combine (hash groups,
+    then cross-source spread broadcast back); never materializes a
+    pair, and the shuffle carries 16-byte keys, never the text."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    h = d.select(
+        "source", F.md5(F.array_join(F.slice(tokens("text"), 1, 10), " ")).alias("hh")
+    )
+    g = h.groupBy("source", "hh").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    spread = h.groupBy("hh").agg(
+        F.count_distinct("source").cast("bigint").alias("n_sources")
+    )
+    return (
+        g.join(F.broadcast(spread), "hh")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+            ).alias("dup_rate"),
+            F.sum(F.when(F.col("n_sources") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_source"),
+        )
+    )
+
+
+_MAD_OUTLIERS_SQL = r"""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           round(max(d.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad,
+           CAST(count(*) FILTER (
+             d.adev > 3 * 1.4826 * m.mad AND m.mad > 0
+           ) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id
+    """
+
+
+@_register("mad_outliers_events", _MAD_OUTLIERS_SQL)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection via MAD (median absolute
+    deviation): the z-score suite's mean/stddev (zscore_outliers_events)
+    is itself dragged by the outliers it hunts; median ± 3·1.4826·MAD
+    is the robust version monitoring pipelines actually deploy.  Two
+    grouped exact-percentile passes (user-keyed shuffles) with the
+    per-user medians broadcast back between them — per-key state is
+    one user's values, same bound every grouped pass here carries."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = e.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count_if(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")) & (F.col("mad") > 0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+_SEASONAL_MAPE_SQL = r"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT month, revenue,
+             lag(revenue, 12) OVER (ORDER BY month) AS forecast
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_months,
+           round(avg(abs(revenue - forecast) / revenue), 6) AS mape,
+           round(avg((forecast - revenue) / revenue), 6) AS bias
+    FROM f WHERE forecast IS NOT NULL
+    """
+
+
+@_register("seasonal_naive_mape_orders", _SEASONAL_MAPE_SQL)
+def seasonal_naive_mape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation: seasonal-naive (same month last
+    year) against monthly revenue, scored by MAPE and signed bias —
+    the baseline every demand-forecast model must beat, and the shape
+    of any backtest harness (build series → lag-join forecast →
+    error rollup).  Revenue is exact-decimal before the one terminal
+    rounding; the series is months (tiny), so the lag window's single
+    partition is the right plan, not a scale bug."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        money(decimal_sum("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    f = m.withColumn("forecast", F.lag("revenue", 12).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(
+            F.avg(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue")), 6
+        ).alias("mape"),
+        F.round(
+            F.avg((F.col("forecast") - F.col("revenue")) / F.col("revenue")), 6
+        ).alias("bias"),
+    )
