@@ -244,6 +244,8 @@ HEADLINE = [
     "dedup_rate_by_source",
     "mad_outliers_events",
     "seasonal_naive_mape_orders",
+    "schema_evolution_roundtrip",
+    "compaction_roundtrip",
 ]
 
 

@@ -9902,3 +9902,118 @@ def seasonal_naive_mape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("forecast") - F.col("revenue")) / F.col("revenue")), 6
         ).alias("bias"),
     )
+
+
+_SCHEMA_EVOLUTION_SQL = r"""
+    WITH unioned AS (
+      SELECT doc_id, lang, n_chars, NULL AS quality_score
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars,
+             round(1.0 / (1.0 + exp(-(n_chars % 100 - 50) / 25.0)), 6)
+               AS quality_score
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality_score) AS BIGINT) AS n_scored,
+           round(avg(quality_score), 6) AS avg_score
+    FROM unioned GROUP BY lang
+    """
+
+
+@_register("schema_evolution_roundtrip", _SCHEMA_EVOLUTION_SQL)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake schema evolution, driver-visible: batch 1 lands WITHOUT a
+    quality_score column, batch 2 (a later pipeline version) lands
+    WITH it; ``mergeSchema`` reads both generations as one table where
+    the old rows carry NULL — the add-a-column migration every
+    long-lived lake performs, proven lossless by a rollup that counts
+    scored vs total rows per language against an oracle that
+    reconstructs the union from first principles.  Columnar formats
+    make this a metadata operation (no rewrite of batch 1); the score
+    itself is a deterministic logistic of n_chars so both engines
+    replay it."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cid_etl_evolve_{key}")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(-((F.col("n_chars") % 100).cast("double") - 50) / 25.0)
+            ),
+            6,
+        ).alias("quality_score"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("quality_score").cast("bigint").alias("n_scored"),
+        F.round(F.avg("quality_score"), 6).alias("avg_score"),
+    )
+
+
+_COMPACTION_SQL = r"""
+    WITH r AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars,
+           CAST(64 AS INTEGER) AS files_before,
+           CAST(4 AS INTEGER) AS files_after
+    FROM r
+    """
+
+
+@_register("compaction_roundtrip", _COMPACTION_SQL)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, the lake-maintenance job that keeps scan
+    parallelism sane: a fragmented landing zone (64 shuffle-written
+    part files) is rewritten into 4 right-sized files via coalesce
+    (narrow — no shuffle to compact), and the per-language rollup over
+    the compacted copy must equal the source.  The file counts
+    BEFORE/AFTER ride in the result row against oracle CONSTANTS, so
+    a planner change that silently alters the written layout (or a
+    compaction that loses rows) hash-mismatches.  At 100 TB the same
+    job runs per partition-directory with a target-bytes heuristic
+    instead of a fixed 4."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cid_etl_compact_{key}")
+    frag_dir = os.path.join(base, "fragmented")
+    tidy_dir = os.path.join(base, "compacted")
+    d.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    files_before = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    frag.coalesce(4).write.mode("overwrite").parquet(tidy_dir)
+    files_after = len([f for f in os.listdir(tidy_dir) if f.endswith(".parquet")])
+    tidy = spark.read.parquet(tidy_dir)
+    return tidy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.lit(files_before).cast("int").alias("files_before"),
+        F.lit(files_after).cast("int").alias("files_after"),
+    )
