@@ -31,7 +31,12 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _VOCAB = (
     "key agg row scan slow fast table value part hash join filter sort "
@@ -97,3 +102,88 @@ class SyntheticDocsReader(DataSourceReader):
 def register(spark) -> None:
     """Register the source for ``spark.read.format("synthetic_docs")``."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: deterministic micro-batched event ticks
+# ---------------------------------------------------------------------------
+
+EVENTS_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double"
+)
+
+_EVENT_TYPES = ["view", "click", "purchase", "error"]
+
+
+def _event_row(seed: int, event_id: int):
+    rng = random.Random(f"{seed}:ev:{event_id}")
+    return (
+        event_id,
+        rng.randrange(100),
+        _EVENT_TYPES[rng.randrange(len(_EVENT_TYPES))],
+        round(rng.random() * 100, 4),
+    )
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``readStream.format("synthetic_events")`` — a custom Python
+    STREAMING data source (Spark 4 ``SimpleDataSourceStreamReader``).
+
+    The batch DataSource above manufactures corpora; this one
+    manufactures a live event feed with the same discipline:
+    deterministic rows keyed by (seed, event_id), so every run — and
+    every checkpoint REPLAY — yields identical micro-batches, which is
+    exactly the property exactly-once sinks need from a source
+    (``readBetweenOffsets`` re-serves any offset range bit-identically).
+    Offsets are plain row counters; each ``read`` serves
+    ``batch_rows`` rows until ``max_rows`` (a bounded drill for tests;
+    unbounded in production use).  The stream==batch twin test
+    regenerates the same rows eagerly and compares windowed rollups.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return EVENTS_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.seed = int(options.get("seed", 42))
+        self.batch_rows = int(options.get("batch_rows", 50))
+        self.max_rows = int(options.get("max_rows", 200))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        if lo >= self.max_rows:
+            return iter([]), {"next": lo}
+        hi = min(lo + self.batch_rows, self.max_rows)
+        rows = [_event_row(self.seed, i) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            _event_row(self.seed, i)
+            for i in range(int(start["next"]), int(end["next"]))
+        )
+
+
+def batch_twin_events(spark, seed: int = 42, max_rows: int = 200):
+    """The eager regeneration of exactly the rows the stream serves —
+    the comparison side of the stream==batch parity test."""
+    return spark.createDataFrame(
+        [_event_row(seed, i) for i in range(max_rows)], EVENTS_SCHEMA
+    )
+
+
+def register_stream(spark) -> None:
+    """Register for ``spark.readStream.format("synthetic_events")``."""
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

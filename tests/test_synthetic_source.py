@@ -52,3 +52,79 @@ def test_dup_rate_injects_exact_duplicates(spark):
         src = int(r.source.removeprefix("dup_of_"))
         if src in by_id:  # source might itself be a dup; only check originals
             assert r.text == by_id[src]
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_events_stream_equals_batch_twin(spark, tmp_path):
+    """The custom Python STREAMING source must deliver exactly the
+    deterministic rows the batch twin regenerates — whole feed and
+    per-user rollup both identical after the bounded stream drains."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.sources.synthetic import batch_twin_events, register_stream
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("seed", 7)
+        .option("batch_rows", 60)
+        .option("max_rows", 180)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_events_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("synth_events_sink").count() >= 180:
+                break
+            time.sleep(0.5)
+        got = sorted(tuple(r) for r in spark.table("synth_events_sink").collect())
+    finally:
+        q.stop()
+    want = sorted(
+        tuple(r) for r in batch_twin_events(spark, seed=7, max_rows=180).collect()
+    )
+    assert got == want
+    assert len(got) == 180
+    # rollup parity (the shape a downstream windowed agg consumes)
+    agg_stream = (
+        spark.table("synth_events_sink")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+    )
+    agg_batch = (
+        batch_twin_events(spark, seed=7, max_rows=180)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+    )
+    assert sorted(map(tuple, agg_stream.collect())) == sorted(
+        map(tuple, agg_batch.collect())
+    )
+
+
+def test_synthetic_events_stream_replay_is_bit_identical(spark):
+    """readBetweenOffsets must re-serve any range identically — the
+    property checkpoint replay relies on."""
+    from cid_etl_spark.sources.synthetic import SyntheticEventsStreamReader
+
+    r = SyntheticEventsStreamReader({"seed": "7", "batch_rows": "50", "max_rows": "200"})
+    first, nxt = r.read({"next": 0})
+    first = list(first)
+    assert nxt == {"next": 50}
+    replay = list(r.readBetweenOffsets({"next": 0}, {"next": 50}))
+    assert first == replay
+    # bounded drill: past max_rows the source is silent at a stable offset
+    empty, stay = r.read({"next": 200})
+    assert list(empty) == [] and stay == {"next": 200}
