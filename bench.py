@@ -246,6 +246,8 @@ HEADLINE = [
     "seasonal_naive_mape_orders",
     "schema_evolution_roundtrip",
     "compaction_roundtrip",
+    "arrow_udf_reading_time",
+    "dp_noised_counts",
 ]
 
 

@@ -10017,3 +10017,96 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(files_before).cast("int").alias("files_before"),
         F.lit(files_after).cast("int").alias("files_after"),
     )
+
+
+_ARROW_UDF_SQL = r"""
+    SELECT doc_id, lang, n_chars,
+           greatest(1, CAST(floor(
+             (n_chars / 5.0) / CASE lang
+                WHEN 'en' THEN 250.0 WHEN 'de' THEN 200.0
+                WHEN 'fr' THEN 220.0 WHEN 'es' THEN 230.0
+                ELSE 210.0 END
+             + 0.5
+           ) AS BIGINT)) AS reading_minutes
+    FROM documents
+    """
+
+
+@_register("arrow_udf_reading_time", _ARROW_UDF_SQL)
+def arrow_udf_reading_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (``@udf(useArrow=True)``,
+    Spark 4): the §2.9 middle tier between JVM Column expressions and
+    pandas_udf — same ``@udf`` ergonomics, but arguments arrive as
+    Arrow-backed batches instead of per-row pickled objects (~2-5×
+    over legacy pickled UDFs; still below built-ins, which is why the
+    engine reserves the tier for logic that genuinely needs Python).
+    The logic here (per-language words-per-minute reading-time
+    estimate) is deliberately SQL-replayable so the oracle can certify
+    the Arrow serialization path end-to-end — a broken Arrow cast or
+    None-handling difference flips rows and hash-mismatches."""
+    from pyspark.sql.functions import udf
+
+    wpm = {"en": 250.0, "de": 200.0, "fr": 220.0, "es": 230.0}
+
+    @udf("bigint", useArrow=True)
+    def reading_minutes(n_chars: int, lang: str) -> int:
+        words = (n_chars or 0) / 5.0
+        # explicit half-up on both sides: Python round() is banker's,
+        # DuckDB round() is half-away — floor(x + 0.5) agrees everywhere
+        return max(1, int(words / wpm.get(lang, 210.0) + 0.5))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "n_chars",
+        reading_minutes("n_chars", "lang").alias("reading_minutes"),
+    )
+
+
+_DP_NOISE_SQL = r"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS true_count
+      FROM documents GROUP BY lang
+    ), u AS (
+      SELECT lang, true_count,
+             ('0x' || substr(md5('dp|' || lang), 1, 7))::BIGINT
+               / 268435456.0 AS uu
+      FROM g
+    )
+    SELECT lang, true_count,
+           round(CASE WHEN uu >= 0.5 THEN -ln(1 - 2 * (uu - 0.5))
+                      ELSE ln(1 - 2 * (0.5 - uu)) END, 4) AS laplace_noise,
+           round(true_count + CASE WHEN uu >= 0.5 THEN -ln(1 - 2 * (uu - 0.5))
+                                   ELSE ln(1 - 2 * (0.5 - uu)) END, 4)
+             AS released_count
+    FROM u
+    """
+
+
+@_register("dp_noised_counts", _DP_NOISE_SQL)
+def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release MECHANISM (Laplace, ε=1,
+    sensitivity 1 for a count): per-language counts released with
+    inverse-CDF Laplace noise.  The uniform draw is DETERMINISTIC
+    (md5 of the group key) — which makes this a verification harness
+    for the mechanism's arithmetic, NOT a private release (real DP
+    requires fresh randomness per release; swap the md5 uniform for a
+    CSPRNG draw and nothing else changes).  Pairs with
+    pseudonymize_events and gdpr_erasure_cascade as the privacy
+    toolchain; one group-by pass, noise is a scalar expression, and
+    the oracle replays the inverse CDF exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    uu = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp|"), F.col("lang"))), 1, 7), 16, 10)
+        .cast("double")
+        / F.lit(268435456.0)
+    )
+    noise = F.when(
+        uu >= 0.5, -F.log(1 - 2 * (uu - F.lit(0.5)))
+    ).otherwise(F.log(1 - 2 * (F.lit(0.5) - uu)))
+    return g.select(
+        "lang",
+        "true_count",
+        F.round(noise, 4).alias("laplace_noise"),
+        F.round(F.col("true_count") + noise, 4).alias("released_count"),
+    )
