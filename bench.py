@@ -248,6 +248,7 @@ HEADLINE = [
     "compaction_roundtrip",
     "arrow_udf_reading_time",
     "dp_noised_counts",
+    "kcore_copurchase",
 ]
 
 

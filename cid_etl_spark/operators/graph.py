@@ -427,3 +427,43 @@ def bfs_distances(
         if (r + 1) % 2 == 0 and r + 1 < rounds:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling: repeatedly drop
+    nodes whose CURRENT degree is below *k* (each removal can expose
+    new below-threshold nodes, hence the rounds).  A fixed round count
+    keeps the result engine-replicable — the exact k-core is reached
+    once a round removes nothing, and dup/spam topologies peel in a
+    few rounds; pathological chains that need more simply return the
+    round-bounded superset, deterministically.
+
+    Per round: one degree aggregation + two semi joins restricting the
+    edge list to surviving endpoints — all keyed on node ids, partial
+    aggregation map-side, lineage localCheckpoint-truncated.  Emits
+    ``(node, core_degree)`` for nodes surviving all rounds, with their
+    degree inside the surviving subgraph.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+    adj = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for r in range(rounds):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("u")
+        adj = (
+            adj.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -10110,3 +10110,48 @@ def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).alias("laplace_noise"),
         F.round(F.col("true_count") + noise, 4).alias("released_count"),
     )
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4, min_support: int = 2) -> str:
+    """Unrolled DuckDB twin of fixed-round k-core peeling."""
+    steps = []
+    prev = "adj0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    keep{r} AS (
+      SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}
+    ),
+    adj{r} AS (
+      SELECT a.u, a.v FROM {prev} a
+      JOIN keep{r} x ON a.u = x.u
+      JOIN keep{r} y ON a.v = y.u
+    )""")
+        prev = f"adj{r}"
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {min_support}
+    ),
+    adj0 AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),{",".join(steps)}
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY u
+    """
+
+
+@_register("kcore_copurchase", _kcore_sql())
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-≥2 co-purchase graph via fixed-round
+    peeling (operators.graph.kcore_peel): the dense backbone that
+    survives after fringe parts (degree < 3, recursively) peel away —
+    the spam/hub-discovery primitive that complements the census
+    suite (CC = reachability, PageRank = centrality, LPA = mesoscale,
+    triangles = local density, k-core = global density backbone).
+    Fixed rounds keep it a pure function of the graph; the oracle
+    replays every peel round."""
+    from cid_etl_spark.operators.graph import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    return kcore_peel(edges, k=3, rounds=4)
