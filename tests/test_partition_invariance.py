@@ -47,6 +47,8 @@ SENSITIVE = (
     "kmv_distinct_users",        # salted partial k-minima merge
     "phash_image_neardup",       # banded Hamming self-join
     "top_session_paths",         # per-session collect+sort, heap top-k
+    "bfs_distances_copurchase",  # per-round min relaxation
+    "kcore_copurchase",          # iterative peel via semi joins
 )
 
 
