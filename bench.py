@@ -249,6 +249,7 @@ HEADLINE = [
     "arrow_udf_reading_time",
     "dp_noised_counts",
     "kcore_copurchase",
+    "degree_assortativity_copurchase",
 ]
 
 

@@ -10155,3 +10155,52 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir, min_support=2)
     return kcore_peel(edges, k=3, rounds=4)
+
+
+_ASSORTATIVITY_SQL = r"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u)
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           round(avg(du.d), 6) AS mean_src_degree,
+           round(corr(du.d, dv.d), 4) AS assortativity
+    FROM adj
+    JOIN deg du ON adj.u = du.node
+    JOIN deg dv ON adj.v = dv.node
+    """
+
+
+@_register("degree_assortativity_copurchase", _ASSORTATIVITY_SQL)
+def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over the symmetrized edge list): one number that says whether hubs
+    attach to hubs (assortative, >0 — social graphs) or to the fringe
+    (disassortative, <0 — retail/web graphs), which decides whether
+    hub-skew mitigation (salting, degree orientation) is worth
+    wiring into downstream joins.  Degree table joins back onto the
+    edge list twice — both sides broadcast when they fit — and the
+    correlation is one partial-aggregable pass."""
+    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    return (
+        adj.join(F.broadcast(du), "src")
+        .join(F.broadcast(dv), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+            F.round(F.avg("du"), 6).alias("mean_src_degree"),
+            F.round(F.corr("du", "dv"), 4).alias("assortativity"),
+        )
+    )
