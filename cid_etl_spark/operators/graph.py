@@ -409,9 +409,11 @@ def bfs_distances(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     ).distinct()
+    # localCheckpoint: adj is consumed every round — truncating its
+    # lineage keeps the final plan shallow (see triangle_count)
     adj = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).cast("int").alias("dist")
     )
