@@ -250,6 +250,8 @@ HEADLINE = [
     "dp_noised_counts",
     "kcore_copurchase",
     "degree_assortativity_copurchase",
+    "consecutive_dup_collapse",
+    "source_similarity_weighted_jaccard",
 ]
 
 

@@ -10204,3 +10204,123 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.corr("du", "dv"), 4).alias("assortativity"),
         )
     )
+
+
+_CONSEC_COLLAPSE_SQL = r"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (prev_type IS NULL OR event_type <> prev_type)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (event_type = prev_type) AS BIGINT) AS n_collapsed
+    FROM seq GROUP BY user_id
+    """
+
+
+@_register("consecutive_dup_collapse", _CONSEC_COLLAPSE_SQL)
+def consecutive_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry run-length dedup: collapse CONSECUTIVE repeats of the
+    same event type per user (button mashes, retry storms, sensor
+    stutter) while keeping non-adjacent recurrences — the semantic
+    neither exact dedup (kills all repeats) nor sessionization
+    provides.  One lag window over the user-keyed shuffle; the report
+    counts kept vs collapsed per user.  The (ts, event_id) tiebreak
+    makes the survivor set engine-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    keep = F.col("prev_type").isNull() | (
+        F.col("event_type") != F.col("prev_type")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_if(keep).cast("bigint").alias("n_kept"),
+        F.count_if(F.col("event_type") == F.col("prev_type"))
+        .cast("bigint")
+        .alias("n_collapsed"),
+    )
+
+
+_SOURCE_SIMILARITY_SQL = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM tf GROUP BY source
+    ), shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS sum_min
+      FROM tf a JOIN tf b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b,
+           round(CAST(s.sum_min AS DOUBLE)
+                 / (ta.tot + tb.tot - s.sum_min), 6) AS weighted_jaccard
+    FROM shared s
+    JOIN tot ta ON s.src_a = ta.source
+    JOIN tot tb ON s.src_b = tb.source
+    ORDER BY weighted_jaccard DESC, src_a, src_b
+    LIMIT 10
+    """
+
+
+@_register("source_similarity_weighted_jaccard", _SOURCE_SIMILARITY_SQL)
+def source_similarity_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition similarity: weighted Jaccard
+    Σmin(tfₐ, tf_b) / Σmax over source-level token-frequency vectors,
+    top-10 most similar source pairs — the diagnostic that finds feeds
+    crawling the same upstream (candidates for mixture de-weighting).
+    Work is keyed on the TOKEN (pairs materialize only where vectors
+    overlap, like the shingle inverted index), Σmax folds to
+    totₐ+tot_b−Σmin so no outer join is needed, and the per-source
+    totals broadcast back over the pair rollup.  The final top-10 is
+    a heap, not a sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    a = tf.select(
+        F.col("source").alias("src_a"), "token", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"), "token", F.col("c").alias("cb")
+    )
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("sum_min"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("tot").alias("tot_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("sum_min").cast("double")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("sum_min")),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+        .orderBy(F.desc("weighted_jaccard"), "src_a", "src_b")
+        .limit(10)
+    )
