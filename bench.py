@@ -252,6 +252,7 @@ HEADLINE = [
     "degree_assortativity_copurchase",
     "consecutive_dup_collapse",
     "source_similarity_weighted_jaccard",
+    "quarantine_split_roundtrip",
 ]
 
 

@@ -10324,3 +10324,66 @@ def source_similarity_weighted_jaccard(spark: SparkSession, sf_dir: str) -> Data
         .orderBy(F.desc("weighted_jaccard"), "src_a", "src_b")
         .limit(10)
     )
+
+
+_QUARANTINE_SQL = r"""
+    WITH judged AS (
+      SELECT doc_id, lang, n_chars,
+             (length(trim(text)) > 0) AS nonempty,
+             (n_chars = length(text)) AS length_consistent,
+             (lang IN ('en', 'de', 'fr', 'es', 'pt')) AS lang_known
+      FROM documents
+    )
+    SELECT CASE WHEN nonempty AND length_consistent AND lang_known
+                THEN 'valid' ELSE 'quarantine' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (NOT nonempty) AS BIGINT) AS r_empty,
+           CAST(count(*) FILTER (NOT length_consistent) AS BIGINT) AS r_length,
+           CAST(count(*) FILTER (NOT lang_known) AS BIGINT) AS r_lang
+    FROM judged GROUP BY 1
+    """
+
+
+@_register("quarantine_split_roundtrip", _QUARANTINE_SQL)
+def quarantine_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-gated ingestion with a QUARANTINE lane: every record is
+    judged against the data contract (non-empty text, n_chars
+    consistent with the payload, known language) and physically routed
+    — valid rows to the serving directory, violators to a quarantine
+    directory WITH their failure flags for triage — then both lanes
+    are read back and the per-lane census (including per-rule
+    violation counts) must match the oracle's first-principles
+    judgment, proving the split is total and lossless.  One scan, one
+    partitioned write (bucket is the partition column, so each lane
+    prunes to its own directory), zero joins; the same gate in front
+    of a 100 TB feed is what keeps one malformed batch from poisoning
+    the lake."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    judged = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.length(F.trim(F.col("text"))) > 0).alias("nonempty"),
+        (F.col("n_chars") == F.length("text")).alias("length_consistent"),
+        F.col("lang").isin("en", "de", "fr", "es", "pt").alias("lang_known"),
+    ).withColumn(
+        "bucket",
+        F.when(
+            F.col("nonempty") & F.col("length_consistent") & F.col("lang_known"),
+            "valid",
+        ).otherwise("quarantine"),
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cid_etl_quarantine_{key}")
+    judged.write.mode("overwrite").partitionBy("bucket").parquet(base)
+    back = spark.read.parquet(base)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(~F.col("nonempty")).cast("bigint").alias("r_empty"),
+        F.count_if(~F.col("length_consistent")).cast("bigint").alias("r_length"),
+        F.count_if(~F.col("lang_known")).cast("bigint").alias("r_lang"),
+    )
