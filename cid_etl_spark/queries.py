@@ -8863,7 +8863,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (w1, w2)-keyed shuffle join at corpus scale.  c1 (context vocab)
     # and the 1-row v stay broadcast.
     return (
-        bg.join(c2, ["w1", "w2"])
+        bg.join(c2.hint("shuffle_hash"), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .join(F.broadcast(v))
         .groupBy("doc_id")
