@@ -253,6 +253,8 @@ HEADLINE = [
     "consecutive_dup_collapse",
     "source_similarity_weighted_jaccard",
     "quarantine_split_roundtrip",
+    "ab_funnel_lift",
+    "anomaly_months_orders",
 ]
 
 

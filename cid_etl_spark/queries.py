@@ -10387,3 +10387,146 @@ def quarantine_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~F.col("length_consistent")).cast("bigint").alias("r_length"),
         F.count_if(~F.col("lang_known")).cast("bigint").alias("r_lang"),
     )
+
+
+_AB_FUNNEL_SQL = r"""
+    WITH assign AS (
+      SELECT user_id % 2 AS variant, user_id, event_type, ts FROM events
+    ), v AS (
+      SELECT variant, user_id, min(ts) AS vts
+      FROM assign WHERE event_type = 'view' GROUP BY variant, user_id
+    ), c AS (
+      SELECT a.variant, a.user_id, min(a.ts) AS cts
+      FROM assign a JOIN v ON a.variant = v.variant AND a.user_id = v.user_id
+      WHERE a.event_type = 'click' AND a.ts > v.vts
+      GROUP BY a.variant, a.user_id
+    ), p AS (
+      SELECT a.variant, a.user_id
+      FROM assign a JOIN c ON a.variant = c.variant AND a.user_id = c.user_id
+      WHERE a.event_type = 'purchase' AND a.ts > c.cts
+      GROUP BY a.variant, a.user_id
+    )
+    SELECT v.variant,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_view,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_click_after_view,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchase_after_click,
+           round(CAST(count(DISTINCT p.user_id) AS DOUBLE)
+                 / count(DISTINCT v.user_id), 6) AS full_funnel_rate
+    FROM v
+    LEFT JOIN c ON v.variant = c.variant AND v.user_id = c.user_id
+    LEFT JOIN p ON v.variant = p.variant AND v.user_id = p.user_id
+    GROUP BY v.variant
+    """
+
+
+@_register("ab_funnel_lift", _AB_FUNNEL_SQL)
+def ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel × experiment variant: per variant, users who
+    viewed, then clicked strictly AFTER their first view, then
+    purchased strictly after that first qualifying click — the
+    composition an experimentation platform reads daily (ab_test_events
+    gives the significance machinery; this gives the step-ordered
+    conversion it tests).  Three aggregates all keyed on (variant,
+    user) so one hash partitioning serves every step; no window, no
+    event-pair self-join."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"), "user_id", "event_type", "ts"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("variant", "user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, ["variant", "user_id"])
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("variant", "user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, ["variant", "user_id"])
+        .filter(F.col("ts") > F.col("cts"))
+        .select("variant", "user_id")
+        .distinct()
+    )
+    cj = c.select("variant", "user_id").withColumn("__c", F.lit(1))
+    pj = p.withColumn("__p", F.lit(1))
+    return (
+        v.join(cj, ["variant", "user_id"], "left")
+        .join(pj, ["variant", "user_id"], "left")
+        .groupBy("variant")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_view"),
+            F.count_distinct(F.when(F.col("__c") == 1, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_click_after_view"),
+            F.count_distinct(F.when(F.col("__p") == 1, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_purchase_after_click"),
+            F.round(
+                F.count_distinct(F.when(F.col("__p") == 1, F.col("user_id")))
+                .cast("double")
+                / F.count_distinct("user_id"),
+                6,
+            ).alias("full_funnel_rate"),
+        )
+    )
+
+
+_ANOMALY_MONTHS_SQL = r"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT month, revenue,
+             lag(revenue, 12) OVER (ORDER BY month) AS forecast
+      FROM m
+    ), r AS (
+      SELECT month, revenue, forecast, revenue - forecast AS residual
+      FROM f WHERE forecast IS NOT NULL
+    ), stats AS (
+      SELECT avg(residual) AS mu, stddev_samp(residual) AS sd FROM r
+    )
+    SELECT r.month, r.revenue, r.forecast,
+           round(r.residual, 2) AS residual,
+           round((r.residual - s.mu) / s.sd, 4) AS residual_z,
+           (abs((r.residual - s.mu) / s.sd) > 2.0) AS is_anomaly
+    FROM r, stats s
+    """
+
+
+@_register("anomaly_months_orders", _ANOMALY_MONTHS_SQL)
+def anomaly_months_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the revenue series: residuals
+    against the seasonal-naive forecast (same month last year),
+    z-scored against the residual distribution, |z| > 2 flagged — the
+    'which months broke pattern' report that pairs with
+    seasonal_naive_mape_orders' aggregate accuracy.  The series is
+    months, so the lag window's single partition is the right plan;
+    the 1-row residual stats broadcast back over the series."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        money(decimal_sum("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    r = (
+        m.withColumn("forecast", F.lag("revenue", 12).over(w))
+        .filter(F.col("forecast").isNotNull())
+        .withColumn("residual", F.col("revenue") - F.col("forecast"))
+    )
+    stats = r.agg(
+        F.avg("residual").alias("mu"), F.stddev_samp("residual").alias("sd")
+    )
+    z = (F.col("residual") - F.col("mu")) / F.col("sd")
+    return r.join(F.broadcast(stats)).select(
+        "month",
+        "revenue",
+        "forecast",
+        F.round("residual", 2).alias("residual"),
+        F.round(z, 4).alias("residual_z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
