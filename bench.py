@@ -255,6 +255,8 @@ HEADLINE = [
     "quarantine_split_roundtrip",
     "ab_funnel_lift",
     "anomaly_months_orders",
+    "peak_transit_concurrency",
+    "conversion_time_percentiles",
 ]
 
 

@@ -10530,3 +10530,124 @@ def anomaly_months_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("residual_z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+_PEAK_TRANSIT_SQL = r"""
+    WITH pts AS (
+      SELECT l_suppkey, l_shipdate AS d, 1 AS delta FROM lineitem
+      UNION ALL
+      SELECT l_suppkey,
+             l_shipdate + to_days(CAST(l_partkey % 30 + 1 AS INTEGER)) AS d,
+             -1 AS delta
+      FROM lineitem
+    ), swept AS (
+      SELECT l_suppkey,
+             sum(delta) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY d, delta DESC
+               ROWS UNBOUNDED PRECEDING
+             ) AS concurrent
+      FROM pts
+    )
+    SELECT l_suppkey,
+           CAST(max(concurrent) AS BIGINT) AS peak_in_transit
+    FROM swept GROUP BY l_suppkey
+    ORDER BY peak_in_transit DESC, l_suppkey
+    LIMIT 25
+    """
+
+
+@_register("peak_transit_concurrency", _PEAK_TRANSIT_SQL)
+def peak_transit_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: each shipment contributes +1
+    at ship and −1 at receipt (receipt synthesized as shipdate +
+    1..30 days from the part key — the fixture carries no receipt
+    column), and the running sum's maximum is the
+    peak number of simultaneously-in-transit shipments per supplier —
+    the capacity-planning number an interval self-join would compute
+    at O(n²).  The window is PARTITIONED by supplier (sweep state is
+    one supplier's timeline, never the global event stream), deltas
+    order -1-after-+1 on date ties via ``delta DESC`` so a same-day
+    ship+receipt counts as overlapping in both engines, and the top-25
+    is a heap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_shipdate is a µs timestamp: add WHOLE-DAY intervals (date_add
+    # would truncate to DATE and change the union's column type)
+    receipt = F.timestamp_add(
+        "DAY", (F.col("l_partkey") % 30 + 1).cast("int"), F.col("l_shipdate")
+    )
+    pts = li.select(
+        "l_suppkey", F.col("l_shipdate").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        li.select("l_suppkey", receipt.alias("d"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("d"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.withColumn("concurrent", F.sum("delta").over(w))
+    return (
+        swept.groupBy("l_suppkey")
+        .agg(F.max("concurrent").cast("bigint").alias("peak_in_transit"))
+        .orderBy(F.desc("peak_in_transit"), "l_suppkey")
+        .limit(25)
+    )
+
+
+_CONVERSION_TIME_SQL = r"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vts
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT v.user_id,
+             CAST(epoch(p.pts) - epoch(v.vts) AS DOUBLE) / 3600.0 AS hours
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           round(quantile_cont(hours, 0.99), 4) AS p99_hours
+    FROM d
+    """
+
+
+@_register("conversion_time_percentiles", _CONVERSION_TIME_SQL)
+def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from a user's first view to
+    their first subsequent purchase, summarized as exact p50/p90/p99 —
+    the latency-shaped readout (long tails decide remarketing windows)
+    that complements the funnel's step counts.  Two (user)-keyed
+    aggregates reusing one partitioning, then a single exact-percentile
+    pass over the converter set; epoch math routes through
+    timestamp_ltz so both engines agree on the naive-timestamp
+    subtraction."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    hours = (
+        F.col("pts").cast("timestamp_ltz").cast("double")
+        - F.col("vts").cast("timestamp_ltz").cast("double")
+    ) / 3600.0
+    d = v.join(p, "user_id").select(hours.alias("hours"))
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.percentile("hours", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
+        F.round(F.percentile("hours", 0.99), 4).alias("p99_hours"),
+    )
