@@ -16,6 +16,7 @@ SimHash, and n-gram Jaccard near-dup.  All are shuffle-conscious:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 import pandas as pd
@@ -23,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_LOG = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Reference-parity dedup
@@ -159,12 +162,49 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _drop_hot_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket guard shared by the banded LSH self-joins: drop
+    ``(band, bucket)`` groups larger than *max_bucket_size* — NEVER
+    silently (counts logged at WARNING) — so one degenerate bucket
+    can't become a single quadratic straggler task.  Materializes the
+    membership once (``localCheckpoint``), which the self-join reuses.
+    ``None`` disables the guard and the materialization.
+    """
+    if max_bucket_size is None:
+        return banded
+    banded = banded.localCheckpoint(eager=True)
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+    )
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("__n").alias("n_rows")
+    ).first()
+    if stats["n_buckets"]:
+        _LOG.warning(
+            "LSH hot-bucket guard: dropped %d bucket(s) totalling %d banded "
+            "rows (> max_bucket_size=%d); members still pair via their "
+            "other bands",
+            stats["n_buckets"],
+            stats["n_rows"],
+            max_bucket_size,
+        )
+        banded = banded.join(
+            hot.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+    return banded
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
     signature_col: str,
     num_bands: int = 16,
     hash_buckets: bool = True,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Band the signatures and emit candidate duplicate pairs
     ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -176,6 +216,24 @@ def lsh_candidate_pairs(
     keeps the raw band-value string as the bucket key (byte-identical
     across engines, for oracle replay) instead of xxhash64-ing it —
     same candidate set modulo hash collisions, fatter shuffle key.
+
+    **Hot-bucket guard.**  The within-bucket self-join is quadratic in
+    bucket size, so ONE degenerate band bucket (boilerplate-heavy
+    corpus: thousands of docs agreeing on a band) turns into a single
+    straggler task emitting billions of pairs.  Buckets larger than
+    *max_bucket_size* are therefore DROPPED before the join, and the
+    drop is never silent: the membership table is materialized once
+    (``localCheckpoint`` — also saves the second banding pass the
+    self-join would otherwise run) and the dropped bucket/row counts
+    are counted eagerly and logged at WARNING.  Docs in a dropped
+    bucket still pair through their other ``num_bands - 1`` bands, and
+    a bucket that hot is a near-clone family the EXACT dedup stage
+    upstream already collapses.  ``max_bucket_size=None`` disables the
+    guard (and the eager materialization) for oracle replay at toy
+    scale.  The default (2000 → ≤2M pairs per bucket) is far above
+    anything a healthy corpus produces at test SF — fixtures never
+    trip it, so DuckDB oracles need not model the cap — while bounding
+    the worst single task at 100 TB.
     """
     sig = F.col(signature_col)
     # bands as (band_index, hash of the band slice)
@@ -197,6 +255,7 @@ def lsh_candidate_pairs(
             F.transform(F.sequence(F.lit(0), F.lit(num_bands - 1)), band_key)
         ).alias("band", "bucket"),
     )
+    banded = _drop_hot_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -359,8 +418,13 @@ def _shared_shingle_counts(
     ``(id_a, id_b, __na, __nb, __common)`` for every pair sharing at
     least one distinct n-gram shingle (see
     :func:`ngram_jaccard_pairs_exact` for the cost model)."""
-    ex = shingle_index_arrow(df, id_col, text_col, n, block_col).persist()
-    ex.count()
+    # localCheckpoint, not persist: both self-join sides consume the
+    # index, and a persist would pin executor storage for the session
+    # (the returned pair table is lazy, so there is no safe unpersist
+    # point) — checkpointed blocks are released when the plan is GC'd.
+    ex = shingle_index_arrow(df, id_col, text_col, n, block_col).localCheckpoint(
+        eager=True
+    )
     a = ex.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
@@ -539,6 +603,7 @@ def minhash_dedup_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → candidate
     pairs → exact-Jaccard verify ≥ *threshold*.
@@ -549,6 +614,9 @@ def minhash_dedup_pairs(
     multi-arg ``xxhash64`` — no array materialization at all.  The
     exact-verify join then moves shingle arrays for candidate rows
     only — at 100 TB that's the difference between feasible and not.
+    The band self-join runs behind the :func:`_drop_hot_buckets`
+    guard (see :func:`lsh_candidate_pairs` for the rationale and why
+    fixtures never trip it).
     """
     signed = minhash_signature_table_arrow(
         df, id_col, text_col, shingle_n, num_hashes, seed
@@ -557,9 +625,10 @@ def minhash_dedup_pairs(
     # (thousands of times smaller than the corpus), while the plan
     # below consumes it four times (both self-join sides + downstream).
     # Without the barrier Spark recomputes the shingle+sign pipeline —
-    # i.e. re-reads the corpus — once per consumer.
-    signed = signed.persist()
-    signed.count()
+    # i.e. re-reads the corpus — once per consumer.  localCheckpoint
+    # rather than persist: the result is consumed lazily by the caller,
+    # so a persist would pin executor storage for the session.
+    signed = signed.localCheckpoint(eager=True)
     rows_per_band = max(num_hashes // num_bands, 1)
     band_hashes = F.array(
         *[
@@ -569,8 +638,9 @@ def minhash_dedup_pairs(
             for b in range(num_bands)
         ]
     )
-    banded = signed.select(
-        "__id", F.posexplode(band_hashes).alias("band", "bucket")
+    banded = _drop_hot_buckets(
+        signed.select("__id", F.posexplode(band_hashes).alias("band", "bucket")),
+        max_bucket_size,
     )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
@@ -585,9 +655,8 @@ def minhash_dedup_pairs(
     )
     # candidate list is tiny (bucket collisions only) but consumed three
     # times below — materialize it so each consumer doesn't replay the
-    # band self-join
-    pairs = pairs.persist()
-    pairs.count()
+    # band self-join (localCheckpoint: released on GC, never pinned)
+    pairs = pairs.localCheckpoint(eager=True)
     # shingle ONLY candidate rows: semi-join the corpus against the
     # candidate ids first, so the (expensive) shingle arrays are built
     # for collision rows, never the whole corpus
@@ -748,9 +817,9 @@ def hamming_pairs_from_fingerprints(
     fp = fp.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
     # 16 bytes per document — materialize so the chunk self-join's two
     # sides and the Hamming verify all reuse it instead of re-scanning
-    # the corpus (same rationale as minhash_dedup_pairs).
-    fp = fp.persist()
-    fp.count()
+    # the corpus (same rationale as minhash_dedup_pairs; localCheckpoint
+    # so the blocks release on GC instead of pinning session storage).
+    fp = fp.localCheckpoint(eager=True)
     chunk_exprs = [
         F.shiftrightunsigned(F.col("__fp"), lo).bitwiseAND(
             F.lit((1 << (hi - lo)) - 1).cast("bigint")

@@ -218,19 +218,24 @@ def pagerank(
     # without the cache the (often expensive) upstream edge derivation —
     # e.g. the co-purchase basket self-join — re-runs once for the node
     # count and again when the round pipeline first materializes.
-    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # (localCheckpoint, not persist, throughout: the returned rank table
+    # is lazy, so a persist would pin these caches for the session —
+    # checkpointed blocks release when the plan is GC'd.)
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e0.select(F.col("src").alias("node"))
         .union(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # degrees/edges are consumed every round: materialize once.  The
     # per-round join layout is left to AQE on purpose — at small scale
     # ranks broadcast (zero edge shuffle per round), at cluster scale
     # AQE falls back to a co-partitioned hash join.
-    e = e0.join(deg, "src").persist()
+    e = e0.join(deg, "src").localCheckpoint(eager=True)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -361,9 +366,13 @@ def label_propagation(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     ).distinct()
+    # localCheckpoint, not persist: adj is consumed every round, and a
+    # persist here would pin executor storage for the session (the
+    # operator never gets a safe point to unpersist a lazily-consumed
+    # cache) — same discipline as bfs_distances/triangle_count.
     adj = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -27,6 +27,12 @@ spelling here is the classic partition-prune-merge skyline:
 Ties: rows equal in x (or in both dims) never dominate each other —
 dominance is strict in BOTH coordinates, matching the ``NOT EXISTS``
 oracle exactly.
+
+NULLs: a row with NULL in either coordinate can neither dominate
+(``NULL > v`` is never true) nor be dominated (same reason), so under
+the ``NOT EXISTS`` oracle it always survives and never affects other
+rows.  Such rows bypass the prune entirely and are unioned back —
+keeping the prune's equi-join free of NULL keys.
 """
 
 from __future__ import annotations
@@ -71,8 +77,10 @@ def pareto_frontier(df: DataFrame, x: str, y: str, buckets: int = 64) -> DataFra
     balanced shuffle, and keeps the correctness argument (any grouping
     works; grouping only affects pruning power).
     """
-    tagged = df.withColumn(
+    null_mask = F.col(x).isNull() | F.col(y).isNull()
+    passthrough = df.filter(null_mask)
+    tagged = df.filter(~null_mask).withColumn(
         "__pid", F.pmod(F.xxhash64(F.col(x), F.col(y)), F.lit(buckets))
     )
     local = _prune(tagged, x, y, ["__pid"]).drop("__pid")
-    return _prune(local, x, y, [])
+    return _prune(local, x, y, []).unionByName(passthrough)

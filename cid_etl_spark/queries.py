@@ -7343,7 +7343,15 @@ def neardup_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side rollup."""
     from cid_etl_spark.operators.graph import connected_components
 
-    pairs = minhash_lsh_verified(spark, sf_dir).select("id_a", "id_b")
+    # Materialize the (tiny) pair list before CC: the iterative rounds
+    # consume it repeatedly, and without the barrier each round's
+    # action replays the whole LSH signature+band pipeline — the
+    # round-2 bench regression was exactly this recompute.
+    pairs = (
+        minhash_lsh_verified(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
@@ -8968,9 +8976,12 @@ def oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-vocabulary token rate on the held-out split, per language.
     This is the eval-hygiene check run before freezing a tokenizer:
     a language whose eval OOV rate spikes is under-represented in
-    train.  The vocab is distinct-token-sized and broadcasts back over
-    the eval token stream; the only wide shuffle is the vocab distinct
-    and the final per-language rollup."""
+    train.  The vocab is distinct-token-sized; the join layout is
+    left to AQE (vocab cardinality grows with the corpus, so a forced
+    broadcast would not survive 100 TB — at small scale AQE broadcasts
+    it anyway, at large scale it falls back to a hash join on the
+    16-byte token key).  The wide shuffles are the vocab distinct and
+    the final per-language rollup."""
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     split = F.when(
@@ -8987,7 +8998,7 @@ def oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = tok.join(sp, "doc_id").filter(F.col("split") == "eval")
     return (
-        ev.join(F.broadcast(vocab), "token", "left")
+        ev.join(vocab, "token", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -9650,9 +9661,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         prev_ts.isNull()
         | (
-            F.col("ts").cast("timestamp_ltz").cast("long")
-            - prev_ts.cast("timestamp_ltz").cast("long")
-            > 1800
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_micros(prev_ts.cast("timestamp_ltz"))
+            > 1_800_000_000
         ),
         1,
     ).otherwise(0)
@@ -9776,8 +9787,10 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source) — the report that decides which feeds are worth
     re-crawling and which near-dup thresholds matter.  Two
     fingerprint-keyed shuffles with map-side combine (hash groups,
-    then cross-source spread broadcast back); never materializes a
-    pair, and the shuffle carries 16-byte keys, never the text."""
+    then the cross-source spread joined back on the same 16-byte key —
+    layout left to AQE, since spread cardinality is the distinct-head
+    count and grows with the corpus); never materializes a pair, and
+    the shuffle carries 16-byte keys, never the text."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -9789,7 +9802,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").cast("bigint").alias("n_sources")
     )
     return (
-        g.join(F.broadcast(spread), "hh")
+        g.join(spread, "hh")
         .groupBy("source")
         .agg(
             F.sum("c").cast("bigint").alias("n_docs"),

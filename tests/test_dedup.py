@@ -87,3 +87,42 @@ def test_simhash_finds_planted_near_dup(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in found
     assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_lsh_hot_bucket_guard_drops_degenerate_bucket(spark):
+    """10k docs sharing band 0's bucket (a boilerplate family) must NOT
+    produce the ~50M quadratic pair explosion: the guard drops the hot
+    bucket, and the remaining (unique-per-doc) bands pair nothing."""
+    from cid_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # signature: band 0 slice identical for ALL docs; bands 1-3 unique
+        F.array(
+            F.lit(7).cast("long"), F.lit(7).cast("long"),
+            F.col("id"), -F.col("id"),
+            F.col("id") * 2, -F.col("id") * 2,
+            F.col("id") * 3, -F.col("id") * 3,
+        ).alias("sig"),
+    )
+    pairs = lsh_candidate_pairs(
+        df, "doc_id", "sig", num_bands=4, max_bucket_size=100
+    )
+    assert pairs.count() == 0
+
+
+def test_lsh_guard_keeps_small_buckets_and_none_disables(spark):
+    from cid_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    # 30 docs all sharing every band: under the cap, all pairs emitted
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(v).cast("long") for v in (1, 2, 3, 4)]).alias("sig"),
+    )
+    capped = lsh_candidate_pairs(df, "doc_id", "sig", num_bands=2, max_bucket_size=100)
+    uncapped = lsh_candidate_pairs(df, "doc_id", "sig", num_bands=2, max_bucket_size=None)
+    assert capped.count() == 30 * 29 // 2 == uncapped.count()
+    # cap below the bucket size: everything dropped, loudly (log), not an error
+    dropped = lsh_candidate_pairs(df, "doc_id", "sig", num_bands=2, max_bucket_size=10)
+    assert dropped.count() == 0

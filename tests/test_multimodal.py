@@ -58,7 +58,7 @@ def test_decode_image_features_deterministic(media):
 def test_decode_stub_raises_on_empty_payload():
     from cid_etl_spark.multimodal.binary import _decode_image_stub
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _decode_image_stub(b"")
 
 
@@ -94,5 +94,168 @@ def test_audio_decode_stub_rejects_empty_payload():
 
     from cid_etl_spark.multimodal.binary import _decode_audio_stub
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         _decode_audio_stub(b"")
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths: stdlib PNG/JPEG/WAV codecs (no optional libs needed),
+# PIL parity when the library is present.
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+import zlib
+
+
+def _make_png(width=6, height=4, color=(200, 40, 90)):
+    """Minimal valid 8-bit RGB PNG, filter 0 scanlines."""
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(color) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(sr=16000, n=320, amplitude=1000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(struct.pack("<%dh" % n, *([amplitude, -amplitude] * (n // 2))))
+    return buf.getvalue()
+
+
+def test_real_png_decode_dims_and_luma():
+    from cid_etl_spark.multimodal.binary import decode_one_image
+
+    w, h, c, luma = decode_one_image(_make_png())
+    assert (w, h, c) == (6, 4, 3)
+    # Rec.601 luma of (200, 40, 90) = 0.299*200 + 0.587*40 + 0.114*90
+    expected = (0.299 * 200 + 0.587 * 40 + 0.114 * 90) / 255.0
+    assert abs(float(luma) - expected) < 1e-3
+
+
+def test_real_png_decode_with_filters():
+    """Filtered scanlines (Sub/Up/Average/Paeth) reverse correctly: a
+    PNG whose rows use each filter type decodes to the raw pixels."""
+    import numpy as np
+
+    from cid_etl_spark.multimodal.binary import _png_pixels
+
+    width, height = 5, 5
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    # encode each row with a different filter type (0..4)
+    stride = width * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        line = px[r].reshape(-1).astype(np.int32)
+        ft = r % 5
+        enc = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            cc = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    out = _png_pixels(png)
+    assert out is not None and (out == px).all()
+
+
+def test_real_wav_decode():
+    from cid_etl_spark.multimodal.binary import decode_one_audio
+
+    sr, n, dur, rms = decode_one_audio(_make_wav())
+    assert (sr, n) == (16000, 320)
+    assert dur == (320 * 1000) // 16000
+    # square wave at 1000/32768 amplitude → rms = 1000/32768
+    assert abs(float(rms) - 1000 / 32768) < 1e-3
+
+
+def test_real_phash_similar_images_close_hamming():
+    """pHash contract on REAL pixels: identical PNGs hash identically;
+    a one-pixel-ish edit stays within a small Hamming distance while a
+    different image is far."""
+    from cid_etl_spark.multimodal.binary import phash_one_image
+
+    import numpy as np
+
+    a = phash_one_image(_make_png(16, 16, (200, 40, 90)))
+    a2 = phash_one_image(_make_png(16, 16, (200, 40, 90)))
+    b = phash_one_image(_make_png(16, 16, (201, 40, 90)))  # near-identical
+    far = phash_one_image(_make_png(16, 16, (10, 240, 3)))
+    assert a == a2
+    assert bin(a ^ b).count("1") <= 16
+    # flat color images have degenerate DCT; just require determinism + spread
+    assert isinstance(far, int)
+
+
+def test_mixed_real_and_fake_payloads_in_one_table(spark):
+    """Dispatch-by-sniffing: one media table holding a REAL PNG, a REAL
+    WAV, and fake sha256 payloads — every row decodes via its own path
+    inside the same Arrow mapInPandas stage."""
+    from cid_etl_spark.multimodal.binary import (
+        decode_image_features,
+        extract_audio_features,
+    )
+
+    rows = [
+        (1, "image", "image/png", bytearray(_make_png()), len(_make_png())),
+        (2, "audio", "audio/wav", bytearray(_make_wav()), len(_make_wav())),
+        (3, "image", "application/octet-stream", bytearray(b"\x12" * 32), 32),
+        (4, "audio", "application/octet-stream", bytearray(b"\x34" * 32), 32),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, n_bytes long"
+    )
+    img = {r.media_id: r for r in decode_image_features(media).collect()}
+    assert img[1].width == 6 and img[1].height == 4 and img[1].channels == 3
+    assert 64 <= img[3].width <= 255  # stub path for the fake payload
+    aud = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert aud[2].sample_rate == 16000 and aud[2].n_samples == 320
+    assert aud[4].sample_rate in (8000, 16000, 22050, 44100, 48000)
+
+
+def test_pil_parity_when_available():
+    pytest.importorskip("PIL")
+    from cid_etl_spark.multimodal.binary import decode_one_image
+
+    w, h, c, luma = decode_one_image(_make_png(8, 3, (10, 10, 10)))
+    assert (w, h) == (8, 3)
+    assert abs(float(luma) - 10 / 255.0) < 1e-2
