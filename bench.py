@@ -271,6 +271,8 @@ HEADLINE = [
     "conversion_time_percentiles",
     # round 3 additions
     "csv_plain_scan_fragment",
+    "media_real_png_decode",
+    "media_real_wav_decode",
 ]
 
 

@@ -373,6 +373,43 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
     return w, h, c, luma
 
 
+def encode_png_solid(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid 8-bit RGB PNG of one solid color (filter-0
+    scanlines) — the executor-side fixture generator for the
+    real-decode correctness rows: any spec-compliant decoder recovers
+    exactly (width, height, 3, luma(rgb))."""
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_square(sample_rate: int, n_frames: int, amplitude: int) -> bytes:
+    """Minimal valid 16-bit mono RIFF/WAV square wave (+a, -a, ...) —
+    the audio twin of :func:`encode_png_solid`: constant |sample|, so
+    RMS is exactly ``amplitude / 32768`` for any decoder."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        half = n_frames // 2
+        wf.writeframes(
+            struct.pack(f"<{half * 2}h", *([amplitude, -amplitude] * half))
+        )
+    return buf.getvalue()
+
+
 def decode_one_image(payload: bytes) -> tuple[int, int, int, str | None]:
     """Decode dispatch for a single image payload: real codec for
     recognized formats (PIL when installed, stdlib PNG/JPEG/GIF paths

@@ -158,7 +158,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bigram_lm_score", "char_entropy_documents",
     "quality_classifier_score", "ngram_containment_pairs",
     "kmeans_cluster_assign", "bpe_train_rounds",
-    "cdc_merge_full", "scd2_point_in_time_join",
+    "media_real_png_decode", "media_real_wav_decode",
 )
 
 
@@ -9613,6 +9613,153 @@ def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.decode(F.substring(F.col("content"), 1, 8), "UTF-8").alias("head8"),
     )
+
+
+_REAL_PNG_SQL = r"""
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           printf('%.4f',
+                  (0.299 * CAST(doc_id * 37 % 256 AS DOUBLE)
+                   + 0.587 * CAST(doc_id * 59 % 256 AS DOUBLE)
+                   + 0.114 * CAST(doc_id * 83 % 256 AS DOUBLE)) / 255.0)
+             AS mean_luma
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """
+
+
+@_register("media_real_png_decode", _REAL_PNG_SQL)
+def media_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under a hard oracle — the round-3 upgrade of
+    the 'weak-by-honesty' media stubs: the fixture stage writes one
+    genuine PNG per sampled document FROM THE EXECUTORS (solid color,
+    dimensions and RGB all pure functions of the doc id —
+    multimodal.binary.encode_png_solid), the reader ingests them
+    through Spark's binaryFile source, and decode_image_features runs
+    the real codec path (PIL when installed; the pure-stdlib zlib
+    inflate + scanline unfilter otherwise) inside the Arrow
+    mapInPandas stage.  The oracle recomputes width/height/channels
+    AND the Rec.601 mean luma from the id formulas — a hash match
+    therefore proves actual pixel-level decode (IHDR parse, inflate,
+    unfilter, luma average), not plumbing."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    media_dir = os.path.join(tempfile.gettempdir(), f"cid_etl_realpng_{key}")
+    os.makedirs(media_dir, exist_ok=True)
+
+    def _write_pngs(rows):
+        import os as _os
+
+        from cid_etl_spark.multimodal.binary import encode_png_solid
+
+        for r in rows:
+            i = r.doc_id
+            p = _os.path.join(media_dir, f"img_{i}.png")
+            if not _os.path.exists(p):
+                png = encode_png_solid(
+                    8 + i % 32,
+                    8 + i % 16,
+                    (i * 37 % 256, i * 59 % 256, i * 83 % 256),
+                )
+                tmp = f"{p}.tmp{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(png)
+                _os.replace(tmp, p)
+
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 11 == 0).select("doc_id").foreachPartition(_write_pngs)
+
+    from cid_etl_spark.multimodal.binary import decode_image_features
+
+    bin_df = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(media_dir)
+    )
+    media = bin_df.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+    return decode_image_features(media)
+
+
+_REAL_WAV_SQL = r"""
+    SELECT doc_id AS media_id,
+           CAST(list_extract([8000, 16000, 22050, 44100], CAST(doc_id % 4 AS INT) + 1)
+                AS INT) AS sample_rate,
+           CAST(400 + (doc_id % 37) * 8 AS BIGINT) AS n_samples,
+           CAST((400 + (doc_id % 37) * 8) * 1000 AS BIGINT)
+             // list_extract([8000, 16000, 22050, 44100], CAST(doc_id % 4 AS INT) + 1)
+             AS duration_ms,
+           printf('%.4f', (500 + (doc_id % 100) * 10) / 32768.0) AS rms
+    FROM documents
+    WHERE doc_id % 13 = 0
+    """
+
+
+@_register("media_real_wav_decode", _REAL_WAV_SQL)
+def media_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under a hard oracle (WAV twin of
+    media_real_png_decode): executor-side fixture WAVs — 16-bit mono
+    square waves whose sample rate, frame count, and amplitude are
+    pure functions of the doc id (encode_wav_square) — ingested via
+    binaryFile and decoded by extract_audio_features' real codec path
+    (soundfile when installed, stdlib ``wave`` otherwise).  Constant
+    |sample| makes the true RMS exactly amplitude/32768, so the oracle
+    recomputes every output column from first principles; a hash match
+    proves genuine RIFF header + PCM frame decode."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    media_dir = os.path.join(tempfile.gettempdir(), f"cid_etl_realwav_{key}")
+    os.makedirs(media_dir, exist_ok=True)
+
+    def _write_wavs(rows):
+        import os as _os
+
+        from cid_etl_spark.multimodal.binary import encode_wav_square
+
+        rates = (8000, 16000, 22050, 44100)
+        for r in rows:
+            i = r.doc_id
+            p = _os.path.join(media_dir, f"aud_{i}.wav")
+            if not _os.path.exists(p):
+                wav = encode_wav_square(
+                    rates[i % 4], 400 + (i % 37) * 8, 500 + (i % 100) * 10
+                )
+                tmp = f"{p}.tmp{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(wav)
+                _os.replace(tmp, p)
+
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 13 == 0).select("doc_id").foreachPartition(_write_wavs)
+
+    from cid_etl_spark.multimodal.binary import extract_audio_features
+
+    bin_df = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(media_dir)
+    )
+    media = bin_df.select(
+        F.regexp_extract(F.col("path"), r"aud_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+    return extract_audio_features(media)
 
 
 _AB_TEST_SQL = r"""

@@ -137,9 +137,9 @@ def test_containment_dominates_jaccard(spark, contain_df):
 def test_phash_stub_contract():
     from cid_etl_spark.multimodal.binary import _phash_image_stub
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _phash_image_stub(b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _phash_image_stub(b"0123456789abc")  # 13 < 15 bytes
     v = _phash_image_stub(b"0123456789abcde" + b"ff")
     assert v == int("0123456789abcde", 16)
