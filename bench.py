@@ -273,6 +273,8 @@ HEADLINE = [
     "csv_plain_scan_fragment",
     "media_real_png_decode",
     "media_real_wav_decode",
+    "temperature_mixture_sample",
+    "zipf_fit_tokens",
 ]
 
 

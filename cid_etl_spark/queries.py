@@ -10900,3 +10900,144 @@ def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
         F.round(F.percentile("hours", 0.99), 4).alias("p99_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: temperature-scaled mixture + corpus power-law diagnostic
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_MIXTURE_SQL = r"""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY source
+    ), share AS (
+      SELECT source, n_docs,
+             pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER () AS p
+      FROM n
+    ), rate AS (
+      SELECT source, n_docs,
+             CAST(floor(least(1.0,
+                 (p * 0.5 * (SELECT sum(n_docs) FROM n)) / n_docs) * 268435456.0)
+               AS BIGINT) AS thr
+      FROM share
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           max(r.thr) AS thr
+    FROM documents d
+    JOIN rate r USING (source)
+    WHERE ('0x' || substr(md5('mix1|' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+          < r.thr
+    GROUP BY d.source
+    """
+
+
+@_register("temperature_mixture_sample", _TEMPERATURE_MIXTURE_SQL)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the mT5/XLM-R multilingual
+    recipe: sample sources with probability ∝ n^α, α=0.3, so
+    low-resource sources are up-weighted relative to their share) —
+    unlike corpus_mixture_sample's FIXED weight table, the rates here
+    are COMPUTED from the observed per-source counts at a 50% total
+    budget, which is how production mixture steps actually run.
+
+    Scale shape: one tiny per-source count aggregate → rate table
+    (cardinality = #sources, genuinely broadcastable) joined back map-
+    side; the keep gate compares a 28-bit md5-prefix integer against a
+    precomputed integer threshold, so the sample is deterministic
+    across runs, engines, and partitionings (same discipline as
+    holdout_split_documents).  The threshold integer rides the output
+    so the oracle certifies the rate arithmetic itself, not just the
+    surviving counts."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tot = n.agg(
+        F.sum(F.pow("n_docs", 0.3)).alias("z"), F.sum("n_docs").alias("total")
+    )
+    rate = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.pow("n_docs", 0.3) / F.col("z") * 0.5 * F.col("total"))
+                / F.col("n_docs"),
+            )
+            * 268435456.0
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rate), "source")
+        .filter(hv < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.max("thr").alias("thr"),
+        )
+    )
+
+
+_ZIPF_FIT_SQL = r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), c AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS freq FROM tok
+      WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+      FROM c QUALIFY rnk <= 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round(regr_slope(ln(freq), ln(CAST(rnk AS DOUBLE))), 3) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(CAST(rnk AS DOUBLE))), 3) AS r2
+    FROM ranked
+    """
+
+
+@_register("zipf_fit_tokens", _ZIPF_FIT_SQL)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus power-law diagnostic: OLS fit of ln(freq) ~ ln(rank)
+    over the top-1000 token frequencies.  A healthy natural-language
+    corpus follows Zipf's law with slope ≈ -1; a slope collapsing
+    toward 0 (flat head) or diving steeply flags boilerplate floods or
+    template spam BEFORE they poison dedup thresholds and tokenizer
+    training — the one-number health check run alongside
+    corpus_composition_report.
+
+    Scale shape: token count with map-side combine (the only wide
+    shuffle), a top-1000 heap (TakeOrderedAndProject — never a global
+    sort), and a single-row slope/R² aggregate; regr_slope is spelled
+    covar_pop/var_pop so both engines share the arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    ranked = (
+        c.select("token", "freq")
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(1000)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+            .cast("double")
+            .alias("rnk"),
+        )
+    )
+    xy = ranked.select(F.log("freq").alias("y"), F.log("rnk").alias("x"))
+    return xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 3).alias("zipf_slope"),
+        F.round(
+            F.pow(F.corr("y", "x"), 2.0),
+            3,
+        ).alias("r2"),
+    )
