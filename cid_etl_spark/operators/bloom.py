@@ -156,8 +156,9 @@ def bloom_semi_join(
     bloom drops ~(1-selectivity) of fact rows map-side, the exact
     ``left_semi`` join then removes false positives."""
     # the keys plan is consumed three times (sizing count, position
-    # emit, exact join) — materialize it once
-    keys = keys.select(key_col).persist()
+    # emit, exact join) — materialize it once; localCheckpoint so the
+    # blocks release on GC instead of pinning session storage
+    keys = keys.select(key_col).localCheckpoint(eager=True)
     bloom = build_bloom(keys, key_col, fpp=fpp)
     pre = bloom_prefilter(fact, fact_col, bloom)
     return pre.join(

@@ -6087,7 +6087,9 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__sig",
         minhash_signature("__grams", num_hashes=16, seed=42, base_hash=md5_base_hash),
     )
-    sh = sh.persist()
+    # localCheckpoint, not persist: lazy consumers, no safe unpersist
+    # point — blocks release on GC instead of pinning session storage
+    sh = sh.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
     )
@@ -8532,6 +8534,10 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # localCheckpoint, not persist: consumed by the banding pass AND both
+    # sides of the verify join, and the returned report is lazy — a
+    # persist here would pin executor storage for the session (the
+    # round-3 advisor pattern); checkpointed blocks release on GC.
     sh = (
         exact.select("doc_id", shingles("text", n=3).alias("__grams"))
         .withColumn(
@@ -8540,7 +8546,7 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__grams", num_hashes=16, seed=42, base_hash=md5_base_hash
             ),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cands = lsh_candidate_pairs(sh, "doc_id", "__sig", num_bands=4, hash_buckets=False)
     g = sh.select("doc_id", "__grams")
@@ -8557,6 +8563,11 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard_similarity(F.col("__ga"), F.col("__gb")), 4) >= 0.2
         )
         .select("id_a", "id_b")
+        # materialize before CC: the iterative rounds consume the pair
+        # list repeatedly, and without the barrier each round replays
+        # the band self-join + verify (the neardup_curation_pipeline
+        # round-2 bench regression was exactly this recompute)
+        .localCheckpoint(eager=True)
     )
     cc = connected_components(pairs, "id_a", "id_b")
     dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
