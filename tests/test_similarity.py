@@ -65,6 +65,22 @@ def test_lsh_recall_against_bruteforce(spark, duck):
     assert len(approx_pairs) <= len({(r["query_id"], r["vec_id"]) for r in exact})
 
 
+def test_lsh_bits_guard_rejects_explosive_mask_enumeration(spark):
+    """VERDICT r3 #6: the multiprobe mask list is O(2^bits) driver-side
+    — bits>16 must fail fast instead of enumerating 2^24 masks."""
+    import pytest as _pytest
+
+    emb = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with _pytest.raises(ValueError, match="bits=24"):
+        cosine_topk_lsh(emb, queries, dim=2, k=1, bits=24)
+    # boundary: 16 bits is allowed (the enumeration is 65536 ints)
+    out = cosine_topk_lsh(emb, queries, dim=2, k=1, bits=16)
+    assert out.count() >= 2  # each query finds itself via its own bucket
+
+
 def test_embedding_neardup_finds_duplicated_vector(spark):
     base = [float(i % 7 - 3) for i in range(16)]
     near = list(base)
