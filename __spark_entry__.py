@@ -38,5 +38,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins; keys without an entry get the
-    driver's weaker rows-only check (see cid_etl_spark/queries.py §I)."""
+    driver's weaker rows-only check (see cid_etl_spark/queries.py §I).
+
+    Every rows-only key has a driver-green hash-verified twin running
+    the same machinery with an engine-replicable (md5) hash family —
+    the mapping is ``rows_only_verified_by()`` below."""
     return oracle_queries()
+
+
+def rows_only_verified_by() -> dict[str, str]:
+    """rows-only query name -> the oracled twin (driver-green
+    rows+schema+hash) that certifies the same pipeline; the rows-only
+    path differs only in hash family (xxhash64/siphash for production
+    speed vs md5 for cross-engine replay)."""
+    from cid_etl_spark.queries import ROWS_ONLY_VERIFIED_BY
+
+    return dict(ROWS_ONLY_VERIFIED_BY)

@@ -11,7 +11,10 @@ The full per-query timing map goes to BENCH_DETAIL.json next to this
 file (a 113-query dict made the stdout line so long the driver's tail
 window truncated its head and failed to parse it — round-1 lesson).
 The summary also diffs per-query times against BASELINE.md's table and
-lists any query slower than REGRESSION_RATIO x its baseline.
+lists any query slower than REGRESSION_RATIO x its baseline.  Flagged
+queries are rerun twice more and reported at their MEDIAN (runs kept
+in BENCH_DETAIL.json "reruns"), so a one-off GC/codegen spike cannot
+masquerade as a regression — round-4 methodology fix.
 
 Each query is fully materialized via the noop sink (count() can skip
 work; noop writes every row).  A warmup query amortizes JVM/codegen
@@ -275,6 +278,10 @@ HEADLINE = [
     "media_real_wav_decode",
     "temperature_mixture_sample",
     "zipf_fit_tokens",
+    # round 4 additions: hard-oracle streaming rows (§2.10)
+    "stream_hourly_events",
+    "stream_sessionized_users",
+    "stream_click_attribution",
 ]
 
 
@@ -308,10 +315,7 @@ def main() -> None:
         _warm, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
+    def run_once(name: str) -> float:
         # steady-state hygiene: drop any DataFrames the previous query
         # persisted (pair-dedup pipelines cache their signature/index
         # tables) and let the JVM collect its shuffle/broadcast garbage
@@ -319,26 +323,49 @@ def main() -> None:
         # not its predecessor's cache pressure or GC debt
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        if name in WARM_FIRST:
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"), sf)
+
+    def is_flagged(name: str, t: float) -> bool:
+        return (
+            name in baseline
+            and baseline[name] > 0
+            and t > REGRESSION_RATIO * baseline[name]
+            and t - baseline[name] > _MIN_REGRESSION_ABS_SEC
+        )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        if name in WARM_FIRST:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = run_once(name)
+
+    # A single-run flag can be a one-off GC/codegen spike (the round-3
+    # persist-churn debate started from exactly one snapshot): rerun
+    # every flagged query twice more and report the MEDIAN, so a
+    # listed regression is reproducible by construction.
+    reruns: dict[str, list[float]] = {}
+    for name in [n for n, t in timings.items() if is_flagged(n, t)]:
+        samples = [timings[name], run_once(name), run_once(name)]
+        reruns[name] = samples
+        timings[name] = sorted(samples)[1]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"), sf)
     regressions = sorted(
         (
             {"query": n, "sec": t, "baseline_sec": baseline[n],
-             "ratio": round(t / baseline[n], 2)}
+             "ratio": round(t / baseline[n], 2),
+             "runs": reruns.get(n)}
             for n, t in timings.items()
-            if n in baseline
-            and baseline[n] > 0
-            and t > REGRESSION_RATIO * baseline[n]
-            and t - baseline[n] > _MIN_REGRESSION_ABS_SEC
+            if is_flagged(n, t)
         ),
         key=lambda r: -r["ratio"],
     )
@@ -350,6 +377,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "regressions": regressions,
+        "reruns": reruns,
     }
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
