@@ -79,7 +79,12 @@ def completed_stages(ui: str, app_id: str) -> dict[int, dict]:
 
 def stage_stats(ui: str, app_id: str, stage_ids: set[int], stages: dict):
     """(worst max/median task ratio, total spill bytes) over non-trivial
-    new stages — sub-2s stages are scheduler noise, not skew signal."""
+    new stages.  Two noise filters: sub-2s stages are scheduler noise,
+    and stages whose MEDIAN task is <250ms are eager-checkpoint /
+    near-empty-partition artifacts (a 5ms median vs one 500ms task
+    reads as 100× 'skew' while the absolute excess is half a second —
+    a straggler only threatens scale when the median itself carries
+    real work)."""
     worst, worst_sid, spill = 1.0, None, 0
     for sid in stage_ids:
         s = stages.get(sid)
@@ -97,7 +102,7 @@ def stage_stats(ui: str, app_id: str, stage_ids: set[int], stages: dict):
             lo, med, hi = q["duration"]
         except Exception:
             continue
-        if med > 0 and hi / med > worst:
+        if med >= 250 and hi / med > worst:
             worst, worst_sid = hi / med, sid
     return worst, worst_sid, spill
 
