@@ -282,6 +282,8 @@ HEADLINE = [
     "stream_hourly_events",
     "stream_sessionized_users",
     "stream_click_attribution",
+    "stream_user_totals_stateful",
+    "stream_dedup_admission",
 ]
 
 

@@ -167,7 +167,8 @@ _ROUND3_VERIFIED: frozenset[str] = frozenset(
 #: 50-query window stay front-of-registry for round 5.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_hourly_events", "stream_sessionized_users",
-    "stream_click_attribution",
+    "stream_click_attribution", "stream_user_totals_stateful",
+    "stream_dedup_admission",
     # VERDICT r3 named continuation rows
     "kmv_distinct_users", "jl_projection_embeddings", "ab_test_events",
     "zipf_fit_tokens", "temperature_mixture_sample",
@@ -11367,3 +11368,112 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "user_id", "purchase_ts", "click_ts", "value"
     )
+
+
+_STREAM_USER_TOTALS_SQL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(round(SUM(round(CAST(value AS DECIMAL(18,2)) * 100)) / 100.0, 2)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """
+
+
+@_register("stream_user_totals_stateful", _STREAM_USER_TOTALS_SQL)
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 hard row #4 — CUSTOM STATEFUL operator under the oracle:
+    per-user running totals via ``applyInPandasWithState``
+    (streaming.events.running_user_totals), the escape hatch for state
+    shapes Spark's built-in windows can't express.  Update-mode
+    emissions are appended per micro-batch with their batch ordinal;
+    the final state per user is the emission with the highest
+    n_events (monotone — every emission adds >=1 event).  Values ride
+    as exact CENTS (decimal->int in a double) so the Python state
+    accumulation is integer-exact in any batch order and the DuckDB
+    twin can replay it without modelling batch boundaries; the final
+    division restores currency units."""
+    from cid_etl_spark.streaming.events import (
+        read_event_stream,
+        running_user_totals,
+    )
+
+    staging, sink, ckpt = _stage_event_stream(spark, sf_dir, n_files=4)
+    stream = read_event_stream(spark, staging, max_files_per_trigger=1)
+    cents = stream.withColumn(
+        "value",
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("double"),
+    )
+    totals = running_user_totals(cents)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        totals.writeStream.foreachBatch(append_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value") / 100.0, 2).alias("total_value"),
+        )
+    )
+
+
+_STREAM_DEDUP_SQL = """
+    SELECT event_id, user_id, event_type
+    FROM events
+    """
+
+
+@_register("stream_dedup_admission", _STREAM_DEDUP_SQL)
+def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 hard row #5 — watermark-bounded streaming dedup: the
+    events fixture is staged DUPLICATED (each event twice, scattered by
+    round-robin repartition so most dup pairs land in DIFFERENT
+    micro-batches), and ``dropDuplicatesWithinWatermark`` must admit
+    each event_id exactly once across the whole run — cross-batch
+    key-state probing, not within-batch distinct.  The oracle is the
+    original fixture: exactly-once admission means the duplicated
+    stream reduces back to it.  Watermark past the fixture span keeps
+    every key in state ('never late', so the oracle is exact);
+    production sets the real lateness SLA and state shrinks to the
+    horizon — the operator's whole point
+    (streaming.events.stream_dedup_events)."""
+    import os
+    import tempfile
+
+    from cid_etl_spark.streaming.events import (
+        read_event_stream,
+        stream_dedup_events,
+    )
+
+    root = tempfile.mkdtemp(prefix="cid_etl_streamdup_")
+    staging = os.path.join(root, "staging")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    ev.unionAll(ev).repartition(4).write.parquet(staging)
+
+    stream = read_event_stream(spark, staging, max_files_per_trigger=1)
+    admitted = stream_dedup_events(stream, watermark="90 days")
+    (
+        admitted.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
