@@ -11189,6 +11189,36 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class _bounded_state_partitions:
+    """Bound the streaming state-store fan-out for the verify streams.
+
+    A stateful streaming query freezes its number of state-store
+    partitions from ``spark.sql.shuffle.partitions`` at checkpoint
+    creation.  Under a vanilla session (default 200) every stateful
+    operator here gets 200 state stores for a fixture with ~150 keys —
+    measured 36.6 s vs ~5 s for ``stream_user_totals_stateful`` when the
+    driver runs it outside our tuned session.  The ``stream_*`` rows
+    create a FRESH checkpoint per call, so pinning a small fan-out is
+    safe and self-contained; production sizes its own fan-out (keys /
+    executor memory) when it creates its long-lived checkpoint.
+    Restores the caller's setting on exit either way."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self._spark = spark
+        self._n = n
+        self._before: str | None = None
+
+    def __enter__(self) -> None:
+        self._before = self._spark.conf.get(self._KEY)
+        self._spark.conf.set(self._KEY, str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        if self._before is not None:
+            self._spark.conf.set(self._KEY, self._before)
+
+
 def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
     """Stage the events fixture as *n_files* µs-timestamp parquet files
     under a FRESH temp root and return (staging, sink, checkpoint)
@@ -11243,14 +11273,15 @@ def stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     def snapshot(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink)
 
-    (
-        agg.writeStream.foreachBatch(snapshot)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _bounded_state_partitions(spark):
+        (
+            agg.writeStream.foreachBatch(snapshot)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink)
 
 
@@ -11308,14 +11339,15 @@ def stream_sessionized_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     def snapshot(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink)
 
-    (
-        sess.writeStream.foreachBatch(snapshot)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _bounded_state_partitions(spark):
+        (
+            sess.writeStream.foreachBatch(snapshot)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink)
 
 
@@ -11356,15 +11388,16 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = purchases_with_recent_click(
         stream, horizon="1 hour", watermark="90 days"
     )
-    (
-        joined.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _bounded_state_partitions(spark):
+        (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink).select(
         "user_id", "purchase_ts", "click_ts", "value"
     )
@@ -11409,14 +11442,15 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink)
 
-    (
-        totals.writeStream.foreachBatch(append_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _bounded_state_partitions(spark):
+        (
+            totals.writeStream.foreachBatch(append_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     emitted = spark.read.parquet(sink)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -11467,13 +11501,14 @@ def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, staging, max_files_per_trigger=1)
     admitted = stream_dedup_events(stream, watermark="90 days")
-    (
-        admitted.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _bounded_state_partitions(spark):
+        (
+            admitted.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
