@@ -639,3 +639,226 @@ def label_centroid_outliers(
         "top_outlier bigint"
     )
     return df.groupBy(label_col).applyInPandas(summarize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN tier below IVF: compress vectors to
+# M small codes so a 100 TB corpus's index fits in a fraction of the IO.
+# ---------------------------------------------------------------------------
+
+
+def pq_sampled_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    id_modulus: int = 33,
+    scale: int = 1_000_000,
+    lloyd_iters: int = 0,
+    max_codes: int = 4096,
+):
+    """Train PQ codebooks: one codeword table per subspace, as int64.
+
+    Vectors are fixed-point scaled first — ``floor(x·scale + 0.5)``
+    (half-up; numpy's round is half-to-EVEN and DuckDB/Spark round is
+    half-away-from-zero, but floor(+0.5) is identical everywhere) — so
+    every later distance/assignment/score is INTEGER-exact and an SQL
+    oracle can replay it bit-for-bit.
+
+    ``lloyd_iters=0`` keeps the data-sampled codebook (rows with
+    ``id % id_modulus == 0``, the classic k-means init) — fully
+    deterministic AND replayable in SQL.  ``lloyd_iters>0`` refines
+    each subspace with Lloyd iterations (centroids re-fixed to int64
+    each round) for lower quantization error; production uses that,
+    the oracle row keeps 0.  Like the IVF coarse quantizer
+    (``ivf_assign_cells``), training is deliberately driver-side on a
+    BOUNDED sample (≤ *max_codes* codewords; a codebook never needs
+    more data) — the distributed work is encode + scan, not training.
+
+    Returns ``(codebooks, sub_dim)`` where codebooks is int64 ndarray
+    of shape ``(n_codes, n_subspaces, sub_dim)``, codeword c being the
+    sampled row with the c-th smallest id.
+    """
+    import numpy as np
+
+    pdf = (
+        corpus.filter((F.col(id_col) % id_modulus) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_codes)
+        .toPandas()
+    )
+    vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+    iv = np.floor(vecs * scale + 0.5).astype("int64")
+    dim = iv.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub_dim = dim // n_subspaces
+    books = iv.reshape(len(iv), n_subspaces, sub_dim)
+
+    for _ in range(lloyd_iters):
+        # per-subspace Lloyd step on the sample itself (sample == train
+        # set here; a production trainer would stream a bigger sample)
+        new = books.copy()
+        for m in range(n_subspaces):
+            pts = iv.reshape(len(iv), n_subspaces, sub_dim)[:, m, :]
+            cw = books[:, m, :]
+            d = (
+                (pts * pts).sum(1)[:, None]
+                + (cw * cw).sum(1)[None, :]
+                - 2 * (pts @ cw.T)
+            )
+            assign = d.argmin(1)
+            for c in range(len(cw)):
+                sel = pts[assign == c]
+                if len(sel):
+                    new[c, m, :] = np.floor(sel.mean(0) + 0.5).astype("int64")
+        if (new == books).all():
+            break
+        books = new
+    return books, sub_dim
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Encode each vector to ``n_subspaces`` codes (nearest codeword by
+    squared L2 per subspace, ties to the smaller code — numpy argmin's
+    first-occurrence IS the smaller index).  One narrow Arrow pass with
+    the codebooks in the closure (broadcast with the task), no shuffle.
+    All arithmetic int64: scaled ints ≤ ~1e6, squared diffs ≤ 4e12,
+    summed over sub_dim ≪ int64 — ANSI-safe.
+
+    Output ``(id, __codes array<int>)`` — the compressed index a 100 TB
+    deployment would persist instead of raw vectors (dim·4 bytes →
+    n_subspaces bytes per row at 256 codes: 32× less scan IO).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks  # (C, M, d) int64
+    n_sub, sub_dim = books.shape[1], books.shape[2]
+    cw_sq = (books.astype("int64") ** 2).sum(axis=2)  # (C, M)
+
+    @pandas_udf("array<int>")
+    def encode(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v = np.array(batch.tolist(), dtype="float64")
+        iv = np.floor(v * scale + 0.5).astype("int64")
+        pts = iv.reshape(len(iv), n_sub, sub_dim)
+        codes = np.empty((len(iv), n_sub), dtype="int32")
+        for m in range(n_sub):
+            p = pts[:, m, :]
+            d = (
+                (p * p).sum(1)[:, None]
+                + cw_sq[:, m][None, :]
+                - 2 * (p @ books[:, m, :].T)
+            )
+            codes[:, m] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return corpus.select(id_col, encode(F.col(vec_col)).alias("__codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    id_modulus: int = 33,
+    scale: int = 1_000_000,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query vectors against the
+    PQ-compressed corpus.
+
+    Per query a lookup table LUT[m][c] = ⟨q_m, codeword_{m,c}⟩ is
+    precomputed (int64, exact); the corpus scan then scores each row as
+    ``Σ_m LUT[m][code_m]`` — a pure table-gather over the CODES, never
+    touching raw vectors.  Scale shape: codes table is ~dim·4/M× smaller
+    than the corpus, the scan is map-side (LUTs ride in the closure,
+    query set bounded by *max_queries* — chunk bigger batches), and the
+    only shuffle is the per-query top-k window.  Ranking uses the raw
+    INTEGER score (descending, ties to the smaller id) so Spark and an
+    SQL oracle agree bit-for-bit; ``adc_dot`` rescales to cosine units
+    at the end (embeddings are unit-norm, so ⟨q, x̂⟩ ≈ cosine).
+
+    Returns ``(query_id, vec_id, adc_dot)``, k rows per query.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books, sub_dim = pq_sampled_codebooks(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_subspaces=n_subspaces,
+        id_modulus=id_modulus,
+        scale=scale,
+        lloyd_iters=lloyd_iters,
+    )
+
+    qpdf = queries.select(query_id_col, query_vec_col).limit(max_queries).toPandas()
+    qids = qpdf[query_id_col].to_numpy()
+    qv = np.array(qpdf[query_vec_col].tolist(), dtype="float64")
+    qi = np.floor(qv * scale + 0.5).astype("int64")
+    qsub = qi.reshape(len(qi), n_subspaces, sub_dim)  # (Q, M, d)
+    # LUTs: (Q, M, C) int64 — Q·M·C·8 bytes, bounded by max_queries
+    luts = np.einsum("qmd,cmd->qmc", qsub, books)
+
+    codes = pq_encode(
+        corpus, books, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("__iscore", LongType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        m_idx = np.arange(n_subspaces)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["__codes"].to_numpy()).astype("int64")  # (n, M)
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                s = luts[j][m_idx[None, :], c].sum(axis=1)  # (n,)
+                yield pd.DataFrame(
+                    {"query_id": int(qid), id_col: ids, "__iscore": s}
+                )
+
+    scored = codes.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__iscore"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("__iscore") / float(scale) ** 2, 4).alias("adc_dot"),
+        )
+    )
