@@ -40,17 +40,22 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins; keys without an entry get the
     driver's weaker rows-only check (see cid_etl_spark/queries.py §I).
 
-    Every rows-only key has a driver-green hash-verified twin running
-    the same machinery with an engine-replicable (md5) hash family —
-    the mapping is ``rows_only_verified_by()`` below."""
+    Every rows-only key maps to a driver-green hash-verified twin —
+    the mapping (and the honest scope of what each twin certifies) is
+    ``rows_only_verified_by()`` below."""
     return oracle_queries()
 
 
 def rows_only_verified_by() -> dict[str, str]:
     """rows-only query name -> the oracled twin (driver-green
-    rows+schema+hash) that certifies the same pipeline; the rows-only
-    path differs only in hash family (xxhash64/siphash for production
-    speed vs md5 for cross-engine replay)."""
+    rows+schema+hash) that certifies it.  Scope differs by family:
+    the minhash/simhash/winnowing rows differ from their twins ONLY in
+    hash family (xxhash64/siphash vs md5), so the twin certifies the
+    full pipeline; the four similarity rows (cosine_topk_lsh/ivf,
+    embedding_neardup, semantic_dedup_embeddings) are approximate paths
+    whose shared machinery is certified by an exact/full-probe twin —
+    their pruning recall is test-pinned (tests/test_similarity.py), not
+    oracle-verified."""
     from cid_etl_spark.queries import ROWS_ONLY_VERIFIED_BY
 
     return dict(ROWS_ONLY_VERIFIED_BY)

@@ -688,6 +688,11 @@ def pq_sampled_codebooks(
         .limit(max_codes)
         .toPandas()
     )
+    if pdf.empty:
+        raise ValueError(
+            f"PQ codebook sample is empty: no rows with {id_col} % "
+            f"{id_modulus} == 0 — lower id_modulus or check the corpus"
+        )
     vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
     iv = np.floor(vecs * scale + 0.5).astype("int64")
     dim = iv.shape[1]

@@ -236,3 +236,90 @@ def test_lsh_multiprobe_recall_monotone(spark):
         assert recall >= last, f"recall dropped at h={h}"
         last = recall
     assert last == 1.0  # full probe == brute force
+
+
+def test_pq_empty_sample_raises(spark):
+    """ADVICE r4 #3: an id_modulus that samples zero rows must fail
+    loudly, not crash with an opaque IndexError downstream."""
+    import pytest
+
+    from cid_etl_spark.operators.similarity import pq_sampled_codebooks
+
+    # vec_id 0 matches every modulus — exclude it so the sample is empty
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") > 0)
+    with pytest.raises(ValueError, match="codebook sample is empty"):
+        pq_sampled_codebooks(emb, id_modulus=10_000_000)
+
+
+def test_pq_adc_scores_match_numpy_reconstruction(spark):
+    """The distributed encode+ADC path must equal a local numpy replay:
+    same fixed-point scaling, per-subspace argmin (ties to smaller
+    code), LUT gather, top-k (ties to smaller id)."""
+    import numpy as np
+
+    from cid_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_sampled_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["adc_dot"]
+        for r in pq_adc_topk(emb, qs, k=5, lloyd_iters=0).collect()
+    }
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    iv = np.floor(
+        np.array(pdf["embedding"].tolist(), dtype="float64") * 1_000_000 + 0.5
+    ).astype("int64")
+    books, sub_dim = pq_sampled_codebooks(emb, lloyd_iters=0)
+    pts = iv.reshape(len(iv), 8, sub_dim)
+    codes = np.empty((len(iv), 8), dtype="int64")
+    for m in range(8):
+        p, cw = pts[:, m, :], books[:, m, :]
+        d = (p * p).sum(1)[:, None] + (cw * cw).sum(1)[None, :] - 2 * (p @ cw.T)
+        codes[:, m] = d.argmin(1)
+    want = {}
+    for qid in (0, 97, 194, 291, 388, 485):
+        q = iv[ids == qid][0].reshape(8, sub_dim)
+        lut = np.einsum("md,cmd->mc", q, books)  # (M, C)
+        s = lut[np.arange(8)[None, :], codes].sum(axis=1)
+        order = sorted(zip(-s, ids), key=lambda t: (t[0], t[1]))[:5]
+        for neg, vid in order:
+            want[(qid, int(vid))] = round(-neg / 1_000_000_000_000, 4)
+    assert got == want
+
+
+def test_pq_lloyd_refinement_reduces_quantization_error(spark):
+    """lloyd_iters>0 is the production path: refined codebooks must not
+    increase total quantization error vs the raw sampled init."""
+    import numpy as np
+
+    from cid_etl_spark.operators.similarity import pq_sampled_codebooks
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pdf = emb.toPandas()
+    iv = np.floor(
+        np.array(pdf["embedding"].tolist(), dtype="float64") * 1_000_000 + 0.5
+    ).astype("int64")
+
+    def qerr(books, sub_dim):
+        pts = iv.reshape(len(iv), 8, sub_dim)
+        tot = 0
+        for m in range(8):
+            p, cw = pts[:, m, :], books[:, m, :]
+            d = (
+                (p * p).sum(1)[:, None]
+                + (cw * cw).sum(1)[None, :]
+                - 2 * (p @ cw.T)
+            )
+            tot += d.min(1).sum()
+        return tot
+
+    b0, sd = pq_sampled_codebooks(emb, lloyd_iters=0)
+    b3, _ = pq_sampled_codebooks(emb, lloyd_iters=3)
+    assert qerr(b3, sd) <= qerr(b0, sd)

@@ -277,3 +277,68 @@ def test_stream_dedup_ingest_admits_only_new_content(spark, tmp_path):
         .count()
     )
     assert after.count() == n1 + new_texts
+
+
+def test_bounded_state_partitions_restores_on_exception(spark):
+    """VERDICT r4 #6: the shuffle-partition pin around the stream runs
+    must restore the caller's setting even when the stream body raises
+    — otherwise one failed stream row would silently degrade every
+    later query in the session to 8 partitions."""
+    from cid_etl_spark.queries import _bounded_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError, match="boom"):
+        with _bounded_state_partitions(spark, n=8):
+            assert spark.conf.get(key) == "8"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
+def test_stream_scratch_root_requires_shared_dir_off_local(spark, monkeypatch):
+    """VERDICT r4 #4: off local mode, stream staging must demand an
+    explicit shared scratch dir and fail loudly without one — a
+    driver-local tempdir is listed by the driver but unreadable from
+    executors."""
+    from cid_etl_spark import queries as Q
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+        class conf:
+            @staticmethod
+            def get(key, default=""):
+                return default
+
+    monkeypatch.delenv("CID_ETL_STREAM_SCRATCH", raising=False)
+    with pytest.raises(RuntimeError, match="shared storage"):
+        Q._stream_scratch_root(FakeSpark(), "t_")
+
+    # with the env var set, the root lands under the shared path
+    monkeypatch.setenv("CID_ETL_STREAM_SCRATCH", "/shared/scratch")
+    root = Q._stream_scratch_root(FakeSpark(), "t_")
+    assert root.startswith("/shared/scratch/t_")
+
+    # local mode never needs the shared dir
+    local_root = Q._stream_scratch_root(spark, "t_")
+    assert os.path.isdir(local_root)
+
+
+def test_stage_event_stream_shares_staging_not_sink(spark):
+    """VERDICT r4 #5: the staged read-only SOURCE dir is shared across
+    calls of one session, while sink/checkpoint are fresh per call."""
+    from cid_etl_spark.queries import _stage_event_stream
+
+    s1, sink1, ckpt1 = _stage_event_stream(spark, SF)
+    s2, sink2, ckpt2 = _stage_event_stream(spark, SF)
+    assert s1 == s2
+    assert sink1 != sink2 and ckpt1 != ckpt2
+    # the dup variant stages separately (twice the rows)
+    d1, _, _ = _stage_event_stream(spark, SF, variant="dup")
+    assert d1 != s1
+    n_plain = spark.read.parquet(s1).count()
+    n_dup = spark.read.parquet(d1).count()
+    assert n_dup == 2 * n_plain
