@@ -218,6 +218,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_dedup_admission",
     # queries newly registered in round 5 take the remaining slots
     "pq_adc_topk",
+    "rfm_segmentation_customers", "benford_first_digit_orders",
+    "session_entropy_users", "knn_label_vote_embeddings",
+    "rolling_corr_daily_events", "data_profile_orders",
+    "pmi_bigrams_tokens", "gini_by_region_orders",
+    "cusum_changepoint_orders",
 )
 
 

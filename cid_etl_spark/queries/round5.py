@@ -1,0 +1,670 @@
+"""Round-5 analytics widening: customer-value segmentation, fraud/
+forensics diagnostics (Benford, CUSUM, Gini), behavioral entropy,
+kNN label voting, rolling correlation, column profiling and bigram
+PMI phrase mining — classic warehouse/ML-prep shapes the reference's
+users would reach for next, each under the hard DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cid_etl_spark.functions.text import tokens
+from cid_etl_spark.sources.parquet import load_table
+
+from cid_etl_spark.queries._registry import _register
+
+_RFM_SQL = """
+    WITH base AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+    FROM scored
+    """
+
+
+@_register("rfm_segmentation_customers", _RFM_SQL)
+def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-warehouse classic: per-customer order aggregates,
+    then quintile scores via ``ntile(5)`` with a custkey tiebreak so
+    the bucket assignment is total-order deterministic in both
+    engines (ntile splits remainders by row order, so the ORDER BY
+    must be unique).  One keyed aggregation + three global sorts of
+    the CUSTOMER-grain rollup (1/10th the fact rows); at 100 TB the
+    rollup stays the only shuffle of fact volume — the ntile sorts
+    ride on the much smaller per-customer table."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary", "o_custkey")
+    return base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("bigint"),
+    )
+
+
+_BENFORD_SQL = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS first_digit
+      FROM orders
+      WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+      FROM digits GROUP BY first_digit
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts
+    )
+    SELECT first_digit, n,
+           round(n / t, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / first_digit), 6) AS benford_p,
+           round(((n / t) - log10(1.0 + 1.0 / first_digit))
+                 * ((n / t) - log10(1.0 + 1.0 / first_digit))
+                 / log10(1.0 + 1.0 / first_digit), 6) AS chi2_term
+    FROM counts, tot
+    """
+
+
+@_register("benford_first_digit_orders", _BENFORD_SQL)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen on order totals: first-digit
+    frequencies vs the log10(1+1/d) expectation with per-digit χ²
+    contributions — the classic anomaly/fraud diagnostic over any
+    money column.  Map-side digit extraction (string head of the
+    integer part, pure codegen), a 9-group aggregate, and a 1-row
+    total broadcast — no fact-volume shuffle beyond the 9-key
+    combine, so the plan is flat at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    obs = F.col("n") / F.col("t")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            F.round(obs, 6).alias("observed_p"),
+            F.round(ben, 6).alias("benford_p"),
+            F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi2_term"),
+        )
+    )
+
+
+_SESSION_ENTROPY_SQL = """
+    WITH cnt AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+      SELECT user_id,
+             list(k ORDER BY event_type) AS ks,
+             CAST(sum(k) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM cnt GROUP BY user_id
+    )
+    SELECT user_id, n, n_types,
+           round(ln(CAST(n AS DOUBLE))
+                 - list_sum(list_transform(ks, k -> k * ln(CAST(k AS DOUBLE))))
+                   / n, 6) AS type_entropy
+    FROM per_user
+    """
+
+
+@_register("session_entropy_users", _SESSION_ENTROPY_SQL)
+def session_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity score: Shannon entropy of each user's
+    event-type distribution, via the count form
+    H = ln(n) − Σ k·ln(k) / n.  The Σ over event types is evaluated
+    over a SORTED count list (sort_array / list ORDER BY) so both
+    engines add the same floats in the same order — float addition is
+    non-associative, and a groupBy-sum's order is engine-chosen;
+    sorting first makes the oracle bit-exact before the single final
+    round.  Two keyed aggregations, both map-side combinable; state
+    is one short list per user."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    per_user = cnt.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "k"))
+        ).alias("tk"),
+        F.sum("k").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    ks = F.col("tk.k")
+    ssum = F.aggregate(
+        ks,
+        F.lit(0.0),
+        lambda acc, k: acc + k.cast("double") * F.log(k.cast("double")),
+    )
+    return per_user.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.round(
+            F.log(F.col("n").cast("double")) - ssum / F.col("n"), 6
+        ).alias("type_entropy"),
+    )
+
+
+_KNN_VOTE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nn AS (
+      SELECT query_id, vec_id, label,
+             round(list_cosine_similarity(v, qv), 4) AS cosine
+      FROM q JOIN c ON c.vec_id <> q.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+      ) <= 7
+    )
+    SELECT query_id, label AS pred_label, votes, mean_cosine
+    FROM (
+      SELECT query_id, label,
+             CAST(count(*) AS BIGINT) AS votes,
+             round(avg(cosine), 4) AS mean_cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY count(*) DESC, label ASC
+             ) AS rn
+      FROM nn GROUP BY query_id, label
+    ) WHERE rn = 1
+    """
+
+
+@_register("knn_label_vote_embeddings", _KNN_VOTE_SQL)
+def knn_label_vote_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote — the standard label-
+    propagation / weak-labeling step in a training-data pipeline:
+    each query vector takes the modal label of its 7 nearest
+    neighbors (cosine, self excluded; vote ties break to the smaller
+    label, neighbor ties to the smaller id).  Built on the same
+    broadcast-queries brute-force scan as cosine_topk_bruteforce —
+    the corpus is scanned once, per-query top-k via window; at scale
+    the scan swaps to the IVF/PQ variants with the vote stage
+    unchanged."""
+    from cid_etl_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    nn = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 4)
+            .alias("cosine"),
+        )
+    )
+    topw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    nn7 = nn.withColumn("__rn", F.row_number().over(topw)).filter(
+        F.col("__rn") <= 7
+    )
+    votes = nn7.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes"),
+        F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+    )
+    votew = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(votew))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", F.col("label").alias("pred_label"), "votes",
+            "mean_cosine",
+        )
+    )
+
+
+_ROLLING_CORR_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), sums AS (
+      SELECT day, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x, y, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS click_purchase_corr
+    FROM sums
+    WHERE n = 7 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """
+
+
+@_register("rolling_corr_daily_events", _ROLLING_CORR_SQL)
+def rolling_corr_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between daily click and
+    purchase volumes — co-movement drift detection between two metric
+    streams.  All six rolling moments (n, Σx, Σy, Σx², Σy², Σxy) are
+    INTEGER window sums over the daily rollup, so the only float op
+    is the final correlation formula — bit-exact across engines, no
+    running-float drift.  The fact shuffle is the one daily rollup;
+    the window runs over |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    sums = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter((F.col("n") == 7) & (varx > 0) & (vary > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            "y",
+            "n",
+            F.round(
+                cov
+                / (
+                    F.sqrt(varx.cast("double"))
+                    * F.sqrt(vary.cast("double"))
+                ),
+                6,
+            ).alias("click_purchase_corr"),
+        )
+    )
+
+
+_PROFILE_SQL = """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT), CAST(count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """
+
+
+@_register("data_profile_orders", _PROFILE_SQL)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (row/non-null/distinct counts, min/max)
+    over five orders columns — the data-quality summary every
+    ingestion run emits before a table is admitted downstream.  All
+    five profiles compute in ONE scan/aggregate (a single Spark job
+    with 5×4 aggregate expressions), then pivot to the per-column
+    report shape with a literal stack — contrast the naive
+    one-pass-per-column loop, which is 5 scans.  Min/max are
+    formatted per-type (printf for doubles, ISO for dates) so the
+    string report is engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            e
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            for e in (
+                F.count(c).cast("bigint").alias(f"nn_{c}"),
+                F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            )
+        ],
+        F.count("o_orderdate").cast("bigint").alias("nn_o_orderdate"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_o_orderdate"),
+        F.min("o_orderkey").cast("string").alias("min_o_orderkey"),
+        F.max("o_orderkey").cast("string").alias("max_o_orderkey"),
+        F.min("o_custkey").cast("string").alias("min_o_custkey"),
+        F.max("o_custkey").cast("string").alias("max_o_custkey"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("min_o_totalprice"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("max_o_totalprice"),
+        F.min("o_orderpriority").alias("min_o_orderpriority"),
+        F.max("o_orderpriority").alias("max_o_orderpriority"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_o_orderdate"),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+        )
+        for c in (
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderdate",
+        )
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+_PMI_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ), c_left AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), c_right AS (
+      SELECT w2, CAST(sum(c12) AS BIGINT) AS cr2 FROM c2 GROUP BY w2
+    )
+    SELECT w1, w2, c12,
+           round(ln(CAST(c12 AS DOUBLE) * n / (c1 * cr2)), 6) AS pmi
+    FROM c2 JOIN c_left USING (w1) JOIN c_right USING (w2), tot
+    WHERE c12 >= 5
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 25
+    """
+
+
+@_register("pmi_bigrams_tokens", _PMI_SQL)
+def pmi_bigrams_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent word pairs by pointwise
+    mutual information, PMI = ln(N·c(w1,w2) / (c(w1·)·c(·w2))), with
+    a min-support floor of 5 — the phrase-detection pass (word2vec-
+    style) that decides which bigrams to fuse into single tokens
+    before tokenizer training.  Bigram extraction is linear in tokens
+    (adjacent pairs only — never a within-document token cross
+    join); marginals derive from the bigram table itself with
+    map-side combine, ints end-to-end until one final ln."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bgarr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bgarr).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    tot = c2.agg(F.sum("c12").cast("bigint").alias("n"))
+    c_left = c2.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c_right = c2.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("cr2"))
+    scored = (
+        c2.filter(F.col("c12") >= 5)
+        .join(F.broadcast(c_left), "w1")
+        .join(F.broadcast(c_right), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1") * F.col("cr2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .drop("__rn")
+    )
+
+
+_GINI_SQL = """
+    WITH rev AS (
+      SELECT r.r_name AS region, c.c_custkey,
+             CAST(sum(round(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT region, cents,
+             row_number() OVER (
+               PARTITION BY region ORDER BY cents, c_custkey
+             ) AS i,
+             CAST(count(*) OVER (PARTITION BY region) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS total
+      FROM rev
+    )
+    SELECT region, n AS n_customers,
+           CAST(round(total / 100.0, 2) AS DOUBLE) AS revenue,
+           round((2.0 * sum(i * cents) / (CAST(n AS DOUBLE) * total))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM ranked
+    GROUP BY region, n, total
+    """
+
+
+@_register("gini_by_region_orders", _GINI_SQL)
+def gini_by_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) per region via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    per-customer revenue — how unequally customer value is
+    distributed, the whale-dependence metric.  Revenue rides as
+    integer CENTS so the rank-weighted sum is int64-exact (max ~1e15
+    per region, well inside int64); one fact aggregation, broadcast
+    dim joins (customer→nation→region), then a per-region sort of
+    customer-grain rows.  Tie-break on custkey makes ranks — and the
+    oracle — deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "c_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    pw = Window.partitionBy("region")
+    ranked = rev.select(
+        "region",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("region").orderBy("cents", "c_custkey"))
+        .alias("i"),
+        F.count(F.lit(1)).over(pw).cast("bigint").alias("n"),
+        F.sum("cents").over(pw).cast("bigint").alias("total"),
+    )
+    return ranked.groupBy("region", "n", "total").agg(
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("cents"))
+                / (F.col("n").cast("double") * F.col("total"))
+            )
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini")
+    ).select(
+        "region",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("total") / 100.0, 2).cast("double").alias("revenue"),
+        "gini",
+    )
+
+
+_CUSUM_SQL = """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), stats AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS m
+      FROM monthly
+    ), cusum AS (
+      SELECT month, cents,
+             sum(cents - CAST(total AS DOUBLE) / m)
+               OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS s
+      FROM monthly, stats
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           CAST(round(cents / 100.0, 2) AS DOUBLE) AS revenue,
+           round(s / 100.0, 2) AS cusum_dollars
+    FROM cusum
+    QUALIFY row_number() OVER (ORDER BY abs(s) DESC, month) = 1
+    """
+
+
+@_register("cusum_changepoint_orders", _CUSUM_SQL)
+def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on monthly revenue: cumulative
+    sum of deviations from the global monthly mean, report the month
+    where |CUSUM| peaks — where the revenue level-shift most likely
+    occurred.  Monthly totals are integer cents; the mean enters as
+    one exact total/m division and the cumulative sum runs in month
+    order (deterministic float accumulation — ordered prefix sums are
+    bit-stable across engines, unlike unordered aggregate sums).
+    One fact rollup to |months| rows, 1-row stats broadcast, then a
+    driver-light argmax."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    stats = monthly.agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    cusum = monthly.join(F.broadcast(stats)).select(
+        "month",
+        "cents",
+        F.sum(
+            F.col("cents") - F.col("total").cast("double") / F.col("m")
+        )
+        .over(Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+    )
+    w = Window.orderBy(F.abs(F.col("s")).desc(), F.col("month"))
+    return (
+        cusum.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round(F.col("cents") / 100.0, 2).cast("double").alias("revenue"),
+            F.round(F.col("s") / 100.0, 2).alias("cusum_dollars"),
+        )
+    )
