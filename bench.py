@@ -284,6 +284,17 @@ HEADLINE = [
     "stream_click_attribution",
     "stream_user_totals_stateful",
     "stream_dedup_admission",
+    # round 5 additions: PQ ADC retrieval + analytics widening
+    "pq_adc_topk",
+    "rfm_segmentation_customers",
+    "benford_first_digit_orders",
+    "session_entropy_users",
+    "knn_label_vote_embeddings",
+    "rolling_corr_daily_events",
+    "data_profile_orders",
+    "pmi_bigrams_tokens",
+    "gini_by_region_orders",
+    "cusum_changepoint_orders",
 ]
 
 
