@@ -295,6 +295,9 @@ HEADLINE = [
     "pmi_bigrams_tokens",
     "gini_by_region_orders",
     "cusum_changepoint_orders",
+    "feature_hashing_documents",
+    "target_encode_loo_orders",
+    "countmin_heavy_users_events",
 ]
 
 

@@ -222,7 +222,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "session_entropy_users", "knn_label_vote_embeddings",
     "rolling_corr_daily_events", "data_profile_orders",
     "pmi_bigrams_tokens", "gini_by_region_orders",
-    "cusum_changepoint_orders",
+    "cusum_changepoint_orders", "feature_hashing_documents",
+    "target_encode_loo_orders", "countmin_heavy_users_events",
 )
 
 

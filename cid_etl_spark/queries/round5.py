@@ -685,3 +685,222 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / 100.0, 2).alias("cusum_dollars"),
         )
     )
+
+
+_FEATURE_HASH_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 7))::BIGINT % 16 AS slot,
+             CASE WHEN ('0x' || substr(md5(w), 8, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN slot = 0 THEN sgn ELSE 0 END) AS BIGINT) AS f0,
+           CAST(sum(CASE WHEN slot = 1 THEN sgn ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN slot = 2 THEN sgn ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN slot = 3 THEN sgn ELSE 0 END) AS BIGINT) AS f3,
+           CAST(sum(CASE WHEN slot = 4 THEN sgn ELSE 0 END) AS BIGINT) AS f4,
+           CAST(sum(CASE WHEN slot = 5 THEN sgn ELSE 0 END) AS BIGINT) AS f5,
+           CAST(sum(CASE WHEN slot = 6 THEN sgn ELSE 0 END) AS BIGINT) AS f6,
+           CAST(sum(CASE WHEN slot = 7 THEN sgn ELSE 0 END) AS BIGINT) AS f7,
+           CAST(sum(CASE WHEN slot = 8 THEN sgn ELSE 0 END) AS BIGINT) AS f8,
+           CAST(sum(CASE WHEN slot = 9 THEN sgn ELSE 0 END) AS BIGINT) AS f9,
+           CAST(sum(CASE WHEN slot = 10 THEN sgn ELSE 0 END) AS BIGINT) AS f10,
+           CAST(sum(CASE WHEN slot = 11 THEN sgn ELSE 0 END) AS BIGINT) AS f11,
+           CAST(sum(CASE WHEN slot = 12 THEN sgn ELSE 0 END) AS BIGINT) AS f12,
+           CAST(sum(CASE WHEN slot = 13 THEN sgn ELSE 0 END) AS BIGINT) AS f13,
+           CAST(sum(CASE WHEN slot = 14 THEN sgn ELSE 0 END) AS BIGINT) AS f14,
+           CAST(sum(CASE WHEN slot = 15 THEN sgn ELSE 0 END) AS BIGINT) AS f15,
+           CAST(sum(abs(sgn)) AS BIGINT) AS n_tokens
+    FROM hashed
+    GROUP BY doc_id
+    """
+
+
+@_register("feature_hashing_documents", _FEATURE_HASH_SQL)
+def feature_hashing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (Weinberger et al.): each
+    token hashes to one of 16 slots with a ±1 sign bit, giving a
+    fixed-width signed count vector per document with NO vocabulary
+    to build, broadcast, or keep consistent across runs — the
+    stateless featurizer for streaming/online training.  md5-derived
+    slot+sign make the vector engine-replayable; the plan is one
+    explode + one doc-keyed combine (16 conditional sums), no joins.
+    Production widens 16 → 2^18 slots via the same two expressions
+    (slot count never changes the plan shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    w = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(toks).alias("w"))
+    )
+    slot = F.conv(F.substring(F.md5("w"), 1, 7), 16, 10).cast("bigint") % 16
+    sgn = F.when(
+        F.conv(F.substring(F.md5("w"), 8, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    hashed = w.select("doc_id", slot.alias("slot"), sgn.alias("sgn"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("slot") == i, F.col("sgn")).otherwise(0))
+            .cast("bigint")
+            .alias(f"f{i}")
+            for i in range(16)
+        ],
+        F.sum(F.abs("sgn")).cast("bigint").alias("n_tokens"),
+    )
+
+
+_LOO_ENCODE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders
+    ), g AS (
+      SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY o_orderpriority
+    )
+    SELECT b.o_orderkey, b.o_orderpriority,
+           round((g.s - b.cents) / (100.0 * (g.n - 1)), 4) AS loo_target_enc
+    FROM base b JOIN g USING (o_orderpriority)
+    WHERE g.n > 1
+    """
+
+
+@_register("target_encode_loo_orders", _LOO_ENCODE_SQL)
+def target_encode_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature recipe
+    that avoids self-leakage: each row's category is encoded as the
+    mean target over the OTHER rows of its category,
+    (Σ−xᵢ)/(n−1).  Targets ride as integer cents so Σ−xᵢ is
+    int64-exact regardless of aggregation order; one category rollup
+    (5 groups) broadcast back over the fact scan — a map-side encode
+    at any scale.  Singleton categories are excluded (their LOO mean
+    is undefined) in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = base.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        base.join(F.broadcast(g), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("cents"))
+                / (F.lit(100.0) * (F.col("n") - 1)),
+                4,
+            ).alias("loo_target_enc"),
+        )
+    )
+
+
+_CMS_SQL = """
+    WITH seeds AS (
+      SELECT CAST(range AS BIGINT) AS seed FROM range(4)
+    ), cells AS (
+      SELECT e.user_id, s.seed,
+             ('0x' || substr(md5(s.seed::VARCHAR || '_' || e.user_id::VARCHAR),
+                             1, 7))::BIGINT % 64 AS bucket
+      FROM events e CROSS JOIN seeds s
+    ), sketch AS (
+      SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY seed, bucket
+    ), exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+    ), probes AS (
+      SELECT DISTINCT user_id, seed, bucket FROM cells
+    ), est AS (
+      SELECT p.user_id, CAST(min(sk.c) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN sketch sk USING (seed, bucket)
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, x.exact_n, e.cms_estimate,
+           CAST(e.cms_estimate >= x.exact_n AS BOOLEAN) AS never_undercounts,
+           CAST(e.cms_estimate - x.exact_n AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY x.exact_n DESC, e.user_id
+    LIMIT 10
+    """
+
+
+@_register("countmin_heavy_users_events", _CMS_SQL)
+def countmin_heavy_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-key estimation under the sketch-contract
+    oracle pattern: a 4×64 CMS (4 md5-derived hash rows, 64 buckets)
+    built with ONE keyed combine over (seed, bucket) — 256 cells total
+    regardless of stream size, mergeable across partitions/streams by
+    cell-wise addition — then the top-10 users' estimates (min over
+    the 4 rows) are emitted NEXT TO the exact counts with the CMS
+    guarantee made checkable: ``never_undercounts`` must be true for
+    every row (est ≥ exact always holds for CMS), and ``overcount``
+    quantifies collision error at this width.  Deterministic md5
+    hashing means DuckDB rebuilds the identical sketch — the estimate
+    itself is oracle-verified, not just bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(i) for i in range(4)])
+    cells = ev.select(
+        "user_id", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("seed").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64,
+    )
+    sketch = cells.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    probes = cells.select("user_id", "seed", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias(
+                "never_undercounts"
+            ),
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
