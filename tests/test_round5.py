@@ -1,0 +1,129 @@
+"""Invariant tests for the round-5 analytics family (oracle parity
+pins exact values; these pin the semantic contracts that survive
+fixture changes)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cid_etl_spark.queries import spark_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name, spark):
+    return spark_queries()[name](spark, SF)
+
+
+def test_rfm_scores_are_quintiles(spark):
+    rows = _q("rfm_segmentation_customers", spark).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    # quintiles are balanced: bucket sizes differ by at most 1
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[col] for r in rows).values()
+        assert max(sizes) - min(sizes) <= 1, (col, sizes)
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    rows = _q("benford_first_digit_orders", spark).collect()
+    digits = {r["first_digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-3
+    # Benford expectation itself sums to 1 over digits 1..9
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_session_entropy_bounds(spark):
+    for r in _q("session_entropy_users", spark).collect():
+        assert r["type_entropy"] >= -1e-9
+        # H <= ln(#types) (uniform maximizes entropy)
+        assert r["type_entropy"] <= math.log(r["n_types"]) + 1e-6
+
+
+def test_knn_vote_winner_has_plurality(spark):
+    rows = _q("knn_label_vote_embeddings", spark).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["votes"] <= 7
+
+
+def test_rolling_corr_in_range(spark):
+    for r in _q("rolling_corr_daily_events", spark).collect():
+        assert -1.0 - 1e-9 <= r["click_purchase_corr"] <= 1.0 + 1e-9
+        assert r["n"] == 7
+
+
+def test_data_profile_counts_consistent(spark):
+    rows = {r["col_name"]: r for r in _q("data_profile_orders", spark).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+        "o_orderdate",
+    }
+    for r in rows.values():
+        assert r["n_nonnull"] <= r["n_rows"]
+        assert r["n_distinct"] <= r["n_nonnull"]
+    assert rows["o_orderkey"]["n_distinct"] == rows["o_orderkey"]["n_rows"]
+
+
+def test_gini_in_unit_interval(spark):
+    rows = _q("gini_by_region_orders", spark).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_feature_hashing_l1_bounded_by_tokens(spark):
+    df = _q("feature_hashing_documents", spark)
+    bad = df.filter(
+        sum(F.abs(F.col(f"f{i}")) for i in range(16)) > F.col("n_tokens")
+    ).count()
+    assert bad == 0  # |signed slot sums| can only cancel, never exceed
+
+
+def test_target_encoding_excludes_self(spark, duck=None):
+    import pandas as pd
+
+    enc = _q("target_encode_loo_orders", spark).toPandas()
+    # recompute one category's LOO mean by hand
+    from cid_etl_spark.sources.parquet import load_table
+    from pyspark.sql import SparkSession
+
+    spark_ = SparkSession.getActiveSession()
+    o = load_table(spark_, SF, "orders").toPandas()
+    o["cents"] = (o["o_totalprice"].astype(float) * 100).round().astype("int64")
+    cat = o["o_orderpriority"].iloc[0]
+    sub = o[o["o_orderpriority"] == cat]
+    row = sub.iloc[0]
+    want = round((sub["cents"].sum() - row["cents"]) / (100.0 * (len(sub) - 1)), 4)
+    got = enc[enc["o_orderkey"] == row["o_orderkey"]]["loo_target_enc"].iloc[0]
+    assert abs(got - want) < 1e-9
+
+
+def test_cms_never_undercounts_and_top10(spark):
+    rows = _q("countmin_heavy_users_events", spark).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["never_undercounts"] is True
+        assert r["overcount"] == r["cms_estimate"] - r["exact_n"] >= 0
+
+
+def test_cusum_single_peak_row(spark):
+    rows = _q("cusum_changepoint_orders", spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["revenue"] > 0
+
+
+def test_pmi_results_sorted_and_supported(spark):
+    rows = _q("pmi_bigrams_tokens", spark).collect()
+    assert 0 < len(rows) <= 25
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["c12"] >= 5 for r in rows)
