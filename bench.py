@@ -298,6 +298,9 @@ HEADLINE = [
     "feature_hashing_documents",
     "target_encode_loo_orders",
     "countmin_heavy_users_events",
+    "tokenizer_fertility_by_lang",
+    "dup_family_size_histogram",
+    "seasonality_index_orders",
 ]
 
 

@@ -224,6 +224,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pmi_bigrams_tokens", "gini_by_region_orders",
     "cusum_changepoint_orders", "feature_hashing_documents",
     "target_encode_loo_orders", "countmin_heavy_users_events",
+    "tokenizer_fertility_by_lang", "dup_family_size_histogram",
+    "seasonality_index_orders",
 )
 
 

@@ -904,3 +904,143 @@ def countmin_heavy_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(10)
     )
+
+
+_FERTILITY_SQL = r"""
+    WITH tok AS (
+      SELECT lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+             length(text) AS n_chars
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4)
+             AS chars_per_token
+    FROM tok GROUP BY lang
+    """
+
+
+@_register("tokenizer_fertility_by_lang", _FERTILITY_SQL)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility diagnostic: characters per whitespace token
+    by language — the compression-rate signal that decides how a
+    multilingual tokenizer's budget is split (scripts with high
+    chars/token need proportionally more vocab or their sequences
+    blow up).  Integer char/token sums per language (map-side
+    combine), one final division — a per-language one-pass scan at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens("text")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tok"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+_DUP_FAMILY_HIST_SQL = """
+    WITH fam AS (
+      SELECT md5(substr(lower(trim(text)), 1, 40)) AS h,
+             CAST(count(*) AS BIGINT) AS family_size
+      FROM documents GROUP BY 1
+    )
+    SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM fam GROUP BY family_size
+    """
+
+
+@_register("dup_family_size_histogram", _DUP_FAMILY_HIST_SQL)
+def dup_family_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure census: documents grouped into families
+    by head fingerprint (md5 of the first 40 normalized chars — the
+    same key family headdup_keep_longest survives on), then a
+    histogram of family sizes.  This is the diagnostic a curation run
+    reads BEFORE choosing dedup aggressiveness: a long tail of large
+    families means boilerplate/mirror content; all-singletons means
+    dedup money is better spent on near-dup passes.  Two keyed
+    combines (family rollup, size rollup), both map-side; the second
+    operates on |families| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = d.groupBy(
+        F.md5(F.substring(F.lower(F.trim("text")), 1, 40)).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("family_size"))
+    return fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_families"),
+        (F.col("family_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+_SEASONALITY_SQL = """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS ym,
+             CAST(month(o_orderdate) AS BIGINT) AS moy,
+             CAST(sum(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS all_cents,
+             CAST(count(*) AS BIGINT) AS all_months
+      FROM monthly
+    )
+    SELECT moy, CAST(count(*) AS BIGINT) AS n_months,
+           CAST(round(sum(cents) / 100.0, 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(cents) AS DOUBLE) * all_months
+                 / (count(*) * all_cents), 6) AS seasonal_index
+    FROM monthly, tot GROUP BY moy, all_months, all_cents
+    """
+
+
+@_register("seasonality_index_orders", _SEASONALITY_SQL)
+def seasonality_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: mean monthly revenue for each
+    calendar month divided by the overall monthly mean — the
+    classical multiplicative decomposition's seasonal component,
+    computed as the exact integer identity
+    (Σ_m · n_all) / (n_m · Σ_all) with cents-int sums so the single
+    final division is the only float op.  One fact rollup to
+    |year-months| rows, a 1-row total broadcast, a 12-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("ym"),
+        F.month("o_orderdate").cast("bigint").alias("moy"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = monthly.agg(
+        F.sum("cents").cast("bigint").alias("all_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("all_months"),
+    )
+    return (
+        monthly.join(F.broadcast(tot))
+        .groupBy("moy", "all_months", "all_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.round(F.sum("cents") / 100.0, 2)
+            .cast("double")
+            .alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double")
+                * F.first("all_months")
+                / (F.count(F.lit(1)) * F.first("all_cents")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .select("moy", "n_months", "revenue", "seasonal_index")
+    )
