@@ -46,6 +46,9 @@ WARM_FIRST = {
     "ansi_safe_arithmetic_suite",
     "bigram_lm_score",
     "char_entropy_documents",
+    # same interpreted-lambda bigram-explode family as bigram_lm_score:
+    # timed runs span 1.4-6.8 s depending on janino/GC state (round 5)
+    "pmi_bigrams_tokens",
 }
 
 
