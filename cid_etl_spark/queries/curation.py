@@ -985,8 +985,8 @@ def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture files are materialized FROM THE EXECUTORS
     (``foreachPartition``) when driver and executors share a
     filesystem (local mode — gated by _materialize_fixture_files;
-    elsewhere a driver-side fallback writes the tiny sample so the
-    binaryFile load can never silently miss executor-local files).
+    elsewhere a driver-side fallback turns the silent executor-local
+    miss into a loud read failure — see that helper's docstring).
     In production the media lake already lives on shared/object
     storage and this fixture stage doesn't exist at all."""
     import hashlib

@@ -1044,3 +1044,313 @@ def seasonality_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("moy", "n_months", "revenue", "seasonal_index")
     )
+
+
+_REPEATED_SPANS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(
+                 string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', tok,
+                       lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w, lead(tok, 4) OVER w) AS gram,
+             lead(tok, 4) OVER w AS l4
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), g AS (
+      SELECT doc_id, pos, gram FROM grams WHERE l4 IS NOT NULL
+    ), dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ), marked AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number()
+                 OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+      FROM g JOIN dup USING (gram)
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM marked GROUP BY doc_id, island
+    """
+
+
+@_register("repeated_spans_documents", _REPEATED_SPANS_SQL)
+def repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-dup spans (the suffix-array-dedup shape of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): every maximal run of 5-gram
+    token windows that occur >=2 times ANYWHERE in the corpus
+    (including within the same document), reported per document as
+    (start token position, covered token length, window count).  Grams
+    are built with lead() windows — whole-stage-codegen string ops, no
+    interpreted lambdas; duplicated-gram detection is one gram-keyed
+    aggregation whose >=2 survivors semi-join back (work proportional
+    to duplicated volume, not all-pairs); runs merge to maximal spans
+    with the gaps-and-islands idiom (pos - row_number).  Shuffles: one
+    doc-keyed window pass, one gram-keyed count, one gram-keyed join
+    back, one doc-keyed island rollup — all linear in corpus size, the
+    100 TB-safe alternative to building an actual distributed suffix
+    array."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tk = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p0")
+    g = (
+        tk.select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+                F.lead("tok", 4).over(w),
+            ).alias("gram"),
+            F.lead("tok", 4).over(w).alias("l4"),
+        )
+        .where(F.col("l4").isNotNull())
+        .drop("l4")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    iw = Window.partitionBy("doc_id").orderBy("pos")
+    marked = g.join(dup, "gram").select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(iw)).alias("island"),
+    )
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + 5)
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_grams")
+    )
+
+
+_CROSS_SPLIT_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE
+               WHEN md5(CAST(doc_id AS VARCHAR))
+                    < '1999999999999999999999999999999999' THEN 'val'
+               WHEN md5(CAST(doc_id AS VARCHAR))
+                    < '3333333333333333333333333333333333' THEN 'test'
+               ELSE 'train'
+             END AS split,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(
+                 string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT split,
+             concat_ws(' ', tok,
+                       lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                       lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                       lead(tok, 7) OVER w) AS gram,
+             lead(tok, 7) OVER w AS l7
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grams AS (
+      SELECT DISTINCT split, gram FROM g WHERE l7 IS NOT NULL
+    ), sizes AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY split
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(count(*) AS BIGINT) AS shared_grams,
+           CAST(max(sa.n) AS BIGINT) AS grams_a,
+           CAST(max(sb.n) AS BIGINT) AS grams_b,
+           round(count(*) * 1.0 / least(max(sa.n), max(sb.n)), 6)
+               AS contamination
+    FROM grams a
+    JOIN grams b ON a.gram = b.gram AND a.split < b.split
+    JOIN sizes sa ON sa.split = a.split
+    JOIN sizes sb ON sb.split = b.split
+    GROUP BY a.split, b.split
+    """
+
+
+@_register("cross_split_contamination", _CROSS_SPLIT_SQL)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit as a split-pair matrix: for every
+    pair of holdout splits (assignment identical to
+    holdout_split_documents — a pure md5(doc_id) threshold), the count
+    of distinct 8-gram token windows present in BOTH splits, plus each
+    split's distinct-gram volume and the contamination ratio
+    shared/min(|a|,|b|).  This is the eval-hygiene companion to
+    decontaminate_documents: that row removes overlap against an
+    external benchmark, this one MEASURES overlap the split boundary
+    itself lets through.  Grams via lead() windows (codegen string
+    ops); one distinct on (split, gram); the split x split join fans
+    out at most #splits rows per gram, so cost stays linear in
+    distinct-gram volume at any corpus size, never pairwise in
+    documents."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < "1999999999999999999999999999999999", "val")
+        .when(h < "3333333333333333333333333333333333", "test")
+        .otherwise("train")
+    )
+    tk = d.select(
+        "doc_id",
+        split.alias("split"),
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        tk.select(
+            "split",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+                F.lead("tok", 4).over(w),
+                F.lead("tok", 5).over(w),
+                F.lead("tok", 6).over(w),
+                F.lead("tok", 7).over(w),
+            ).alias("gram"),
+            F.lead("tok", 7).over(w).alias("l7"),
+        )
+        .where(F.col("l7").isNotNull())
+        .drop("l7")
+    )
+    grams = g.distinct()
+    sizes = grams.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.split") < F.col("b.split")),
+    ).select(
+        F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+    )
+    sa = sizes.select(
+        F.col("split").alias("split_a"), F.col("n").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("split").alias("split_b"), F.col("n").alias("grams_b")
+    )
+    return (
+        pairs.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+        .join(F.broadcast(sa), "split_a")
+        .join(F.broadcast(sb), "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("shared_grams")
+                * 1.0
+                / F.least("grams_a", "grams_b"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+_CCNET_BUCKETS_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq
+    ), scored AS (
+        SELECT t.doc_id, t.lang,
+               round(-avg(ln(f.cnt / tot.n)), 4) AS xent
+        FROM tok t JOIN freq f USING (token), tot
+        GROUP BY t.doc_id, t.lang
+    ), bucketed AS (
+        SELECT lang,
+               CAST(round(xent * 10000) AS BIGINT) AS xe4,
+               xent,
+               ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id)
+                   AS bucket
+        FROM scored
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(xe4) * 1.0 / (count(*) * 10000), 4) AS avg_xent,
+           round(min(xent), 4) AS min_xent,
+           round(max(xent), 4) AS max_xent
+    FROM bucketed GROUP BY lang, bucket
+    """
+
+
+@_register("ccnet_quality_buckets", _CCNET_BUCKETS_SQL)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality tiers (Wenzek et al. 2020):
+    each document scored by corpus-unigram cross-entropy (the same
+    arithmetic as unigram_logprob_score), then split into
+    head/middle/tail terciles WITHIN its language via ntile(3) with a
+    doc_id tiebreak (total order => deterministic bucket boundaries in
+    both engines), reported as per-(lang, tier) counts and score
+    ranges.  The per-doc score is rounded to 4dp BEFORE bucketing and
+    the tier average is computed over exact integer ten-thousandths
+    (sum of BIGINTs, one division at the end), so no float-accumulation
+    order can move a hash.  Frequency table broadcasts; the only
+    fact-volume shuffle is the per-doc rollup; the ntile sort runs on
+    the doc-grain table, 1000x smaller than the token stream."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(-F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "xent"
+            )
+        )
+    )
+    bw = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    bucketed = scored.select(
+        "lang",
+        F.round(F.col("xent") * 10000).cast("bigint").alias("xe4"),
+        "xent",
+        F.ntile(3).over(bw).cast("bigint").alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("xe4") * 1.0 / (F.count(F.lit(1)) * 10000), 4
+        ).alias("avg_xent"),
+        F.round(F.min("xent"), 4).alias("min_xent"),
+        F.round(F.max("xent"), 4).alias("max_xent"),
+    )
