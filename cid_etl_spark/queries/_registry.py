@@ -212,10 +212,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pseudonymize_events", "psi_drift_orders",
     "revenue_share_within_region", "salted_join_events_hot",
     "seasonal_naive_mape_orders", "source_similarity_weighted_jaccard",
-    # streaming rows re-verified after the shared-stage refactor
-    "stream_hourly_events", "stream_sessionized_users",
-    "stream_click_attribution", "stream_user_totals_stateful",
-    "stream_dedup_admission",
+    # the two state-store streaming rows re-verified after the
+    # shared-stage + fan-out-4 refactor (the other three stream rows
+    # share the same staging helper and stay green in the full replica,
+    # DRIVER_CHECK.json; window slots go to never-verified rows first)
+    "stream_user_totals_stateful", "stream_dedup_admission",
     # queries newly registered in round 5 take the remaining slots
     "pq_adc_topk",
     "rfm_segmentation_customers", "benford_first_digit_orders",
@@ -225,7 +226,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cusum_changepoint_orders", "feature_hashing_documents",
     "target_encode_loo_orders", "countmin_heavy_users_events",
     "tokenizer_fertility_by_lang", "dup_family_size_histogram",
-    "seasonality_index_orders",
+    "seasonality_index_orders", "repeated_spans_documents",
+    "cross_split_contamination", "ccnet_quality_buckets",
 )
 
 
