@@ -49,9 +49,12 @@ def oracle_sql() -> dict[str, str]:
 def rows_only_verified_by() -> dict[str, str]:
     """rows-only query name -> the oracled twin (driver-green
     rows+schema+hash) that certifies it.  Scope differs by family:
-    the minhash/simhash/winnowing rows differ from their twins ONLY in
-    hash family (xxhash64/siphash vs md5), so the twin certifies the
-    full pipeline; the four similarity rows (cosine_topk_lsh/ivf,
+    the minhash/simhash rows differ from their twins ONLY in hash
+    family (xxhash64/siphash vs md5), so the twin certifies the full
+    pipeline; content_fingerprints' winnowing column is a numpy
+    rolling-hash Arrow UDF whose algorithm the md5 twin proves in SQL
+    and whose implementation is pinned bit-for-bit to a pure-Python
+    reference in tests; the four similarity rows (cosine_topk_lsh/ivf,
     embedding_neardup, semantic_dedup_embeddings) are approximate paths
     whose shared machinery is certified by an exact/full-probe twin —
     their pruning recall is test-pinned (tests/test_similarity.py), not

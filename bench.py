@@ -304,6 +304,31 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "dup_family_size_histogram",
     "seasonality_index_orders",
+    "repeated_spans_documents",
+    "cross_split_contamination",
+    "ccnet_quality_buckets",
+    # full-registry sweep: the early/trivial rows that predate the
+    # HEADLINE list, so EVERY registered query has a benched, baselined
+    # wall time (round-5 completeness pass)
+    "scan_project_filter",
+    "scalar_string_suite",
+    "conditional_count_quality",
+    "rollup_order_counts",
+    "top_k_orders",
+    "semi_join_active_suppliers",
+    "anti_join_idle_customers",
+    "window_running_revenue",
+    "intersect_nations",
+    "except_nations",
+    "lag_order_gaps",
+    "count_distinct_per_nation",
+    "approx_distinct_users",
+    "pivot_status_by_priority",
+    "from_json_typed_events",
+    "bpe_token_estimate",
+    "media_image_features",
+    "approx_percentile_lineitem",
+    "content_fingerprints",
 ]
 
 

@@ -256,10 +256,16 @@ def _ordered_names() -> list[str]:
 #: rows-only check), each mapped to the driver-green row that certifies
 #: it, with the honest scope of that certification (ADVICE r4 #1):
 #:
-#: - ``minhash_lsh_pairs`` / ``simhash_pairs`` / ``content_fingerprints``
-#:   differ from their twins ONLY in hash family (xxhash64/siphash
-#:   production hashes vs md5, which DuckDB can replay) — the twin
-#:   certifies the full shingle/band/verify pipeline end-to-end.
+#: - ``minhash_lsh_pairs`` / ``simhash_pairs`` differ from their twins
+#:   ONLY in hash family (xxhash64/siphash production hashes vs md5,
+#:   which DuckDB can replay) — the twin certifies the full
+#:   shingle/band/verify pipeline end-to-end.
+#: - ``content_fingerprints``'s winnowing column runs a numpy
+#:   rolling-hash Arrow UDF (round 5: the interpreted-lambda expression
+#:   took 68 s at sf0.1; the vectorized path takes <1 s).  The md5 twin
+#:   proves the gram/window-min/dedup ALGORITHM against DuckDB; the
+#:   numpy implementation is additionally pinned bit-for-bit to an
+#:   independent pure-Python reference (tests/test_round5.py).
 #: - ``cosine_topk_lsh`` / ``cosine_topk_ivf`` / ``embedding_neardup``
 #:   / ``semantic_dedup_embeddings`` are APPROXIMATE paths whose twin is
 #:   an exact or full-probe variant: the twin certifies the shared

@@ -127,3 +127,98 @@ def test_pmi_results_sorted_and_supported(spark):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["c12"] >= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized winnowing fast path (functions.text.winnowing_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _naive_winnow(data: bytes, k: int = 8, window: int = 4) -> list:
+    """Independent pure-Python winnowing reference (Schleimer et al.):
+    Horner polynomial k-gram hashes mod 2^64, sliding-window minima,
+    sorted signed-int64 distinct — deliberately shares NO code with the
+    numpy implementation it pins."""
+    from cid_etl_spark.functions.text import _WINNOW_BASE
+
+    M = 1 << 64
+    if len(data) >= k:
+        grams = []
+        for i in range(len(data) - k + 1):
+            h = 0
+            for b in data[i : i + k]:
+                h = (h * _WINNOW_BASE + b) % M
+            grams.append(h)
+    else:
+        h = 0
+        for b in data:
+            h = (h * _WINNOW_BASE + b) % M
+        grams = [h]
+    if len(grams) >= window:
+        mins = [min(grams[i : i + window]) for i in range(len(grams) - window + 1)]
+    else:
+        mins = [min(grams)]
+    return sorted({m - M if m >= 1 << 63 else m for m in mins})
+
+
+def test_winnow_numpy_matches_naive_reference():
+    import random
+
+    from cid_etl_spark.functions.text import winnow_fingerprints_py
+
+    random.seed(11)
+    cases = [
+        b"",
+        b"a",
+        b"abcdefg",          # < k: single whole-string gram
+        b"abcdefgh",         # == k: one gram, one window
+        b"abcdefghij",       # k < n < k+window-1: fewer grams than window
+        b"aaaaaaaaaaaaaaaa", # degenerate repeats collapse to one fp
+        "déjà vu déjà vu encoded as utf-8 bytes".encode("utf-8"),
+    ]
+    cases += [
+        bytes(random.randrange(256) for _ in range(random.randrange(0, 300)))
+        for _ in range(40)
+    ]
+    for c in cases:
+        assert winnow_fingerprints_py(c) == _naive_winnow(c), c[:24]
+    # k/window variants exercise the non-default edge arithmetic too
+    for c in cases[:12]:
+        assert winnow_fingerprints_py(c, k=5, window=7) == _naive_winnow(
+            c, k=5, window=7
+        )
+
+
+def test_winnow_spark_path_matches_reference(spark):
+    """The Arrow UDF through a real Spark plan returns exactly the
+    reference fingerprints (normalization included: strip spaces,
+    lowercase, utf-8 bytes)."""
+    from cid_etl_spark.functions.text import winnowing_fingerprints
+
+    texts = [
+        "  The Quick Brown Fox Jumps Over the Lazy Dog  ",
+        "short",
+        "",
+        "The quick brown fox jumps over the lazy dog " * 8,
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    got = {
+        r["id"]: r["fps"]
+        for r in df.select("id", winnowing_fingerprints("text").alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == _naive_winnow(t.strip(" ").lower().encode("utf-8"))
+
+
+def test_content_fingerprints_query_shape(spark):
+    rows = _q("content_fingerprints", spark).collect()
+    assert rows
+    n_by_doc = {r["doc_id"]: r["n_winnow_fps"] for r in rows}
+    assert all(n >= 1 for n in n_by_doc.values())
+    # fingerprint column is the exact-content xxhash64 (deterministic)
+    again = {r["doc_id"]: r["fingerprint"] for r in _q("content_fingerprints", spark).collect()}
+    assert again == {r["doc_id"]: r["fingerprint"] for r in rows}
