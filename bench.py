@@ -329,6 +329,10 @@ HEADLINE = [
     "media_image_features",
     "approx_percentile_lineitem",
     "content_fingerprints",
+    # statistical-test rows (round 5, late batch)
+    "ks_test_priority_orders",
+    "trend_slope_region_monthly",
+    "chi_square_priority_status",
 ]
 
 

@@ -1354,3 +1354,240 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("xent"), 4).alias("min_xent"),
         F.round(F.max("xent"), 4).alias("max_xent"),
     )
+
+
+_KS_SQL = """
+    WITH pool AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ), tot AS (
+      SELECT sum(g) AS n1, sum(1 - g) AS n0 FROM pool
+    ), by_v AS (
+      SELECT v, sum(g) AS c1, sum(1 - g) AS c0 FROM pool GROUP BY v
+    ), cum AS (
+      SELECT sum(c1) OVER (ORDER BY v) AS a1,
+             sum(c0) OVER (ORDER BY v) AS a0
+      FROM by_v
+    )
+    SELECT CAST(round(CAST(max(abs(a1 * tot.n0 - a0 * tot.n1)) AS DOUBLE)
+                      / (tot.n1 * tot.n0), 6) AS DOUBLE) AS ks_stat,
+           CAST(tot.n1 AS BIGINT) AS n_urgent,
+           CAST(tot.n0 AS BIGINT) AS n_other
+    FROM cum, tot GROUP BY tot.n1, tot.n0
+    """
+
+
+@_register("ks_test_priority_orders", _KS_SQL)
+def ks_test_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    order-value distributions of urgent vs non-urgent orders —
+    distribution drift testing beyond the binned PSI row
+    (psi_drift_orders): KS is the sup-norm ECDF distance, binning-free.
+
+    Exactness: grouping by value first makes the cumulative window
+    tie-safe (one row per distinct value, RANGE-frame identical in both
+    engines), and the sup is taken over INTEGER cross-products
+    (a1*n0 - a0*n1) with a single division at the end, so no float
+    accumulation can move the hash.  Scale: the per-value pre-aggregate
+    is the only fact-volume shuffle; the cumulative window then runs on
+    the distinct-value grain.  The global ORDER BY window is the exact
+    form — at 100 TB you'd quantile-bin first (the PSI row is that
+    scale path); this row is the exact reference."""
+    o = load_table(spark, sf_dir, "orders")
+    pool = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g"),
+    )
+    tot = pool.agg(
+        F.sum("g").alias("n1"), F.sum(F.lit(1) - F.col("g")).alias("n0")
+    )
+    by_v = pool.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c0")
+    )
+    w = Window.orderBy("v")
+    cum = by_v.select(
+        F.sum("c1").over(w).alias("a1"), F.sum("c0").over(w).alias("a0")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("n1", "n0")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("a1") * F.col("n0") - F.col("a0") * F.col("n1"))
+                ).cast("double")
+                / (F.col("n1") * F.col("n0")),
+                6,
+            ).alias("ks_stat")
+        )
+        .select(
+            "ks_stat",
+            F.col("n1").cast("bigint").alias("n_urgent"),
+            F.col("n0").cast("bigint").alias("n_other"),
+        )
+    )
+
+
+_TREND_SQL = """
+    WITH monthly AS (
+      SELECT r.r_name AS region,
+             (extract(year FROM o.o_orderdate) * 12
+              + extract(month FROM o.o_orderdate)) AS m,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), x AS (
+      SELECT region, m - min(m) OVER () AS x, cents FROM monthly
+    ), s AS (
+      SELECT region, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(cents) AS sy, sum(x * cents) AS sxy
+      FROM x GROUP BY region
+    )
+    SELECT region, CAST(n AS BIGINT) AS n_months,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE) * 100), 4)
+                AS DOUBLE) AS slope_per_month,
+           CAST(round(CAST(sy AS DOUBLE) / (n * 100), 2) AS DOUBLE)
+               AS mean_monthly
+    FROM s ORDER BY region
+    """
+
+
+@_register("trend_slope_region_monthly", _TREND_SQL)
+def trend_slope_region_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region OLS revenue trend: slope of monthly revenue against a
+    month index, computed from closed-form sufficient statistics
+    (n, Sx, Sxx, Sy, Sxy) — the distributed-regression classic: one
+    keyed aggregation produces the sums, the slope is pure arithmetic
+    on the 5-row result.  Revenue is summed as exact integer cents and
+    every sufficient statistic is a BIGINT; the two divisions happen
+    once, at the end.  The dimension chain broadcasts; the only
+    fact-volume shuffle is the (region, month) rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    x = monthly.select(
+        "region",
+        (F.col("m") - F.min("m").over(Window.partitionBy())).alias("x"),
+        "cents",
+    )
+    s = x.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+    )
+    return s.select(
+        "region",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * 100
+            ),
+            4,
+        ).alias("slope_per_month"),
+        F.round(F.col("sy").cast("double") / (F.col("n") * 100), 2).alias(
+            "mean_monthly"
+        ),
+    ).orderBy("region")
+
+
+_CHI2_SQL = """
+    WITH obs AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), grid AS (
+      SELECT p, s FROM (SELECT DISTINCT p FROM obs), (SELECT DISTINCT s FROM obs)
+    ), dense AS (
+      SELECT g.p, g.s, coalesce(o.o, 0) AS o
+      FROM grid g LEFT JOIN obs o ON g.p = o.p AND g.s = o.s
+    ), m AS (
+      SELECT p, s, o,
+             sum(o) OVER (PARTITION BY p) AS rt,
+             sum(o) OVER (PARTITION BY s) AS ct,
+             sum(o) OVER () AS n
+      FROM dense
+    )
+    SELECT CAST(round(sum(
+             ((CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+              * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct))
+             / (CAST(n AS DOUBLE) * rt * ct)), 4) AS DOUBLE) AS chi2,
+           CAST((count(DISTINCT p) - 1) * (count(DISTINCT s) - 1) AS BIGINT)
+               AS dof,
+           CAST(max(n) AS BIGINT) AS n_orders
+    FROM m
+    """
+
+
+@_register("chi_square_priority_status", _CHI2_SQL)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test over the order-priority x
+    order-status contingency table — the categorical-drift /
+    feature-dependence screen beside the continuous KS row.  The table
+    is densified (distinct-p x distinct-s grid, missing cells as 0) so
+    zero cells contribute their expected mass; each cell term uses the
+    rational form (o*N - rt*ct)^2 / (N*rt*ct), mathematically identical
+    to (o-e)^2/e but with one multiply-heavy numerator per cell instead
+    of an intermediate e, and is rounded once after the 15-term sum.
+    One fact-volume shuffle (the groupBy); everything after runs on the
+    cell grid.  Pinned to an independent python reference in
+    tests/test_round5.py."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    grid = obs.select("p").distinct().crossJoin(obs.select("s").distinct())
+    dense = grid.join(obs, ["p", "s"], "left").select(
+        "p", "s", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    m = dense.select(
+        "p",
+        "s",
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("s")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = F.col("o").cast("double") * F.col("n") - F.col("rt").cast(
+        "double"
+    ) * F.col("ct")
+    return m.agg(
+        F.round(
+            F.sum(
+                num * num / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+            ),
+            4,
+        ).alias("chi2"),
+        ((F.countDistinct("p") - 1) * (F.countDistinct("s") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.max("n").cast("bigint").alias("n_orders"),
+    )

@@ -222,3 +222,70 @@ def test_content_fingerprints_query_shape(spark):
     # fingerprint column is the exact-content xxhash64 (deterministic)
     again = {r["doc_id"]: r["fingerprint"] for r in _q("content_fingerprints", spark).collect()}
     assert again == {r["doc_id"]: r["fingerprint"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Statistical-test rows (KS / OLS trend / chi-square)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_statistic_bounds_and_counts(spark):
+    rows = _q("ks_test_priority_orders", spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["n_urgent"] > 0 and r["n_other"] > 0
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    rows = {r["region"]: r for r in _q("trend_slope_region_monthly", spark).collect()}
+    assert len(rows) == 5
+    # independent reference: rebuild one region's monthly series in
+    # pandas and fit with numpy.polyfit
+    o = load_table(spark, SF, "orders").toPandas()
+    c = load_table(spark, SF, "customer").toPandas()
+    n = load_table(spark, SF, "nation").toPandas()
+    rg = load_table(spark, SF, "region").toPandas()
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    df["m"] = df["o_orderdate"].dt.year * 12 + df["o_orderdate"].dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    monthly = df.groupby(["r_name", "m"], as_index=False)["cents"].sum()
+    monthly["x"] = monthly["m"] - monthly["m"].min()
+    region = sorted(rows)[0]
+    sub = monthly[monthly["r_name"] == region]
+    slope_cents = np.polyfit(sub["x"], sub["cents"], 1)[0]
+    assert abs(rows[region]["slope_per_month"] - round(slope_cents / 100, 4)) < 0.01
+    assert rows[region]["n_months"] == len(sub)
+
+
+def test_chi_square_matches_python_reference(spark):
+    from collections import Counter
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    got = _q("chi_square_priority_status", spark).collect()[0]
+    o = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    cnt = Counter((r[0], r[1]) for r in o)
+    ps = sorted({p for p, _ in cnt})
+    ss = sorted({s for _, s in cnt})
+    N = sum(cnt.values())
+    rt = {p: sum(v for (pp, _), v in cnt.items() if pp == p) for p in ps}
+    ct = {s: sum(v for (_, s2), v in cnt.items() if s2 == s) for s in ss}
+    chi = sum(
+        (cnt.get((p, s), 0) - rt[p] * ct[s] / N) ** 2 / (rt[p] * ct[s] / N)
+        for p in ps
+        for s in ss
+    )
+    assert abs(got["chi2"] - round(chi, 4)) < 1e-9
+    assert got["dof"] == (len(ps) - 1) * (len(ss) - 1)
+    assert got["n_orders"] == N
