@@ -333,6 +333,9 @@ HEADLINE = [
     "ks_test_priority_orders",
     "trend_slope_region_monthly",
     "chi_square_priority_status",
+    "jaro_winkler_part_pairs",
+    "kaplan_meier_conversion",
+    "weighted_median_lineitem",
 ]
 
 

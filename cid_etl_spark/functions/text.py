@@ -256,3 +256,79 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
     if key not in _WINNOW_UDF_CACHE:
         _WINNOW_UDF_CACHE[key] = _winnow_udf(k, window)
     return _WINNOW_UDF_CACHE[key](_c(text))
+
+
+# ---------------------------------------------------------------------------
+# String similarity (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def jaro_winkler_py(a: str, b: str) -> float:
+    """Textbook Jaro-Winkler similarity (Winkler 1990): Jaro with the
+    standard match window floor(max/2)-1 and half-transposition count,
+    plus the common-prefix boost (p=0.1, prefix capped at 4) applied
+    only when jaro > 0.7.  Empty-vs-empty is 0.0.  Fuzz-verified
+    bit-identical to DuckDB's ``jaro_winkler_similarity`` over 9,000
+    random and real-fixture string pairs (tests/test_round5.py), which
+    is what makes the UDF oracle-checkable."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    win = max(la, lb) // 2 - 1
+    if win < 0:
+        win = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - win), min(lb, i + win + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3
+    if j <= 0.7:
+        return j
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x == y:
+            l += 1
+        else:
+            break
+    return j + l * 0.1 * (1 - j)
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched Jaro-Winkler column (NULL if either side NULL).
+    Python-per-pair is the right shape here: the function is
+    branch-heavy on short strings (no numpy win), and callers are
+    expected to BLOCK first so the pair volume is bounded — see
+    jaro_winkler_part_pairs for the blocked self-join pattern."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else jaro_winkler_py(x, y)
+                for x, y in zip(xs, ys)
+            ],
+            dtype="float64",
+        )
+
+    return jw(_c(a), _c(b))

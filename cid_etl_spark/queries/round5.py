@@ -1591,3 +1591,243 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.max("n").cast("bigint").alias("n_orders"),
     )
+
+
+_JW_SQL = """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+             split_part(p_name, ' ', -1) AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(round(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+                AS DOUBLE) AS jw,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+    """
+
+
+@_register("jaro_winkler_part_pairs", _JW_SQL)
+def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution with Jaro-Winkler: distinct part
+    names, blocked on their last token (the noun — blocking on the
+    FIRST character would split exactly the 'cold anvil'/'old anvil'
+    near-match family this fixture carries), all pairs within a block
+    scored by an Arrow UDF implementing textbook JW, thresholded on the
+    ROUNDED score so both engines compare the same value.
+
+    The oracle is DuckDB's BUILT-IN jaro_winkler_similarity — the UDF
+    is fuzz-pinned bit-identical to it over 9,000 random + fixture
+    pairs (tests/test_round5.py), so this row certifies a genuinely
+    independent reimplementation, not a replayed formula.  Scale: the
+    name-grain rollup is the only fact-volume shuffle; pair volume is
+    bounded by block sizes (entity-resolution practice; the LSH rows
+    are the unbounded-corpus variant of the same idea)."""
+    from cid_etl_spark.functions.text import jaro_winkler
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    ).withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block",
+    )
+    pairs = a.join(b, "block").where(F.col("name_a") < F.col("name_b"))
+    scored = pairs.withColumn(
+        "jw", F.round(jaro_winkler("name_a", "name_b"), 4)
+    )
+    return scored.where(F.col("jw") >= 0.9).select(
+        "name_a", "name_b", "jw", "n_parts_a", "n_parts_b"
+    )
+
+
+_KM_SQL = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), horizon AS (SELECT max(ts) AS t_end FROM events),
+    subjects AS (
+      SELECT CASE WHEN t_buy IS NOT NULL AND t_buy >= t_click
+                  THEN CAST(floor(epoch(t_buy - t_click) / 3600) AS BIGINT)
+             END AS t_event,
+             CAST(floor(epoch(h.t_end - t_click) / 3600) AS BIGINT) AS t_cens
+      FROM firsts, horizon h WHERE t_click IS NOT NULL
+    ), obs AS (
+      SELECT CASE WHEN t_event IS NOT NULL AND t_event <= t_cens
+                  THEN t_event ELSE t_cens END AS t,
+             CASE WHEN t_event IS NOT NULL AND t_event <= t_cens
+                  THEN 1 ELSE 0 END AS d
+      FROM subjects
+    ), grp AS (
+      SELECT t, sum(d) AS d_t, count(*) AS ended_t FROM obs GROUP BY t
+    ), risk AS (
+      SELECT t, d_t,
+             sum(ended_t) OVER (ORDER BY t DESC) AS n_t
+      FROM grp
+    )
+    SELECT t AS hours, CAST(d_t AS BIGINT) AS conversions,
+           CAST(n_t AS BIGINT) AS at_risk,
+           CAST(round(exp(sum(CASE WHEN d_t > 0
+                                   THEN ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                                   ELSE 0 END)
+                          OVER (ORDER BY t)), 4) AS DOUBLE) AS survival
+    FROM risk WHERE d_t > 0 ORDER BY t LIMIT 20
+    """
+
+
+@_register("kaplan_meier_conversion", _KM_SQL)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right censoring: per
+    user, the event is hours from first click to first purchase;
+    users who never purchase are censored at the observation horizon
+    (they leave the risk set without converting — dropping them would
+    bias survival down, the classic KM motivation).  S(t) is the
+    product-limit estimator, computed as exp of a running sum of
+    ln(1 - d/n) — both engines evaluate the identical double
+    expression in the identical t-order, rounded once (precedent: the
+    CCNet perplexity-bucket row ships avg-of-logs the same way).
+    Scale: one user-grain rollup shuffle; everything after runs on the
+    distinct-event-time grain.  First 20 event times returned."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    horizon = e.agg(F.max("ts").alias("t_end"))
+
+    def _epoch(c):
+        return F.col(c).cast("timestamp_ltz").cast("double")
+
+    subjects = (
+        firsts.where(F.col("t_click").isNotNull())
+        .join(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t_buy").isNotNull() & (F.col("t_buy") >= F.col("t_click")),
+                F.floor((_epoch("t_buy") - _epoch("t_click")) / 3600),
+            )
+            .cast("bigint")
+            .alias("t_event"),
+            F.floor((_epoch("t_end") - _epoch("t_click")) / 3600)
+            .cast("bigint")
+            .alias("t_cens"),
+        )
+    )
+    obs = subjects.select(
+        F.when(
+            F.col("t_event").isNotNull() & (F.col("t_event") <= F.col("t_cens")),
+            F.col("t_event"),
+        )
+        .otherwise(F.col("t_cens"))
+        .alias("t"),
+        F.when(
+            F.col("t_event").isNotNull() & (F.col("t_event") <= F.col("t_cens")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("d"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum("d").alias("d_t"), F.count(F.lit(1)).alias("ended_t")
+    )
+    risk = grp.select(
+        "t",
+        "d_t",
+        F.sum("ended_t").over(Window.orderBy(F.desc("t"))).alias("n_t"),
+    )
+    surv = risk.select(
+        "t",
+        "d_t",
+        "n_t",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d_t") > 0,
+                    F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t")),
+                ).otherwise(F.lit(0.0))
+            ).over(Window.orderBy("t"))
+        ).alias("s"),
+    )
+    return (
+        surv.where(F.col("d_t") > 0)
+        .select(
+            F.col("t").alias("hours"),
+            F.col("d_t").cast("bigint").alias("conversions"),
+            F.col("n_t").cast("bigint").alias("at_risk"),
+            F.round("s", 4).alias("survival"),
+        )
+        .orderBy("hours")
+        .limit(20)
+    )
+
+
+_WMED_SQL = """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ), g AS (
+      SELECT flag, cents, sum(q) AS qsum FROM w GROUP BY flag, cents
+    ), c AS (
+      SELECT flag, cents,
+             sum(qsum) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+             sum(qsum) OVER (PARTITION BY flag) AS tot
+      FROM g
+    )
+    SELECT flag, CAST(round(min(cents) / 100.0, 2) AS DOUBLE)
+               AS weighted_median,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag
+    """
+
+
+@_register("weighted_median_lineitem", _WMED_SQL)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    robust location statistic percentile_disc can't give when rows
+    carry weights.  Exact by construction: prices become integer
+    cents, weights integer quantities, the median is the smallest
+    value whose doubled cumulative weight reaches the total (integer
+    comparison, no float until the final /100 display division).
+    Scale: the (flag, cents) pre-aggregate is the only fact-volume
+    shuffle; the per-flag cumulative window runs on the distinct-price
+    grain within each flag partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = w.groupBy("flag", "cents").agg(F.sum("q").alias("qsum"))
+    part = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("qsum").over(part.orderBy("cents")).alias("cw"),
+        F.sum("qsum").over(part).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("cents") / 100.0, 2).alias("weighted_median"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )

@@ -289,3 +289,66 @@ def test_chi_square_matches_python_reference(spark):
     assert abs(got["chi2"] - round(chi, 4)) < 1e-9
     assert got["dof"] == (len(ps) - 1) * (len(ss) - 1)
     assert got["n_orders"] == N
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution / survival / weighted median rows
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_fuzz_matches_duckdb(duck):
+    import random
+
+    from cid_etl_spark.functions.text import jaro_winkler_py
+
+    random.seed(3)
+    for trial in range(3000):
+        alpha = "abcde" if trial % 2 else "abcdefghijklmnopqrstuvwxyz "
+        a = "".join(random.choice(alpha) for _ in range(random.randrange(0, 14)))
+        b = "".join(random.choice(alpha) for _ in range(random.randrange(0, 14)))
+        want = duck.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler_py(a, b) - want) < 1e-12, (a, b)
+    # canonical textbook pairs
+    assert abs(jaro_winkler_py("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12
+    assert jaro_winkler_py("", "") == 0.0
+    assert jaro_winkler_py("same", "same") == 1.0
+
+
+def test_jaro_winkler_pairs_blocked_and_symmetricish(spark):
+    rows = _q("jaro_winkler_part_pairs", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0.9 <= r["jw"] <= 1.0
+        assert r["name_a"] < r["name_b"]
+        # blocked on the last token: nouns must agree
+        assert r["name_a"].split()[-1] == r["name_b"].split()[-1]
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    rows = _q("kaplan_meier_conversion", spark).collect()
+    assert rows
+    prev = 1.0
+    for r in sorted(rows, key=lambda r: r["hours"]):
+        assert 0.0 < r["survival"] <= prev + 1e-9
+        assert r["conversions"] >= 1
+        assert r["at_risk"] >= r["conversions"]
+        prev = r["survival"]
+
+
+def test_weighted_median_is_weighted_midpoint(spark):
+    from cid_etl_spark.sources.parquet import load_table
+
+    rows = {r["flag"]: r for r in _q("weighted_median_lineitem", spark).collect()}
+    li = load_table(spark, SF, "lineitem").toPandas()
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["q"] = li["l_quantity"].astype("int64")
+    for flag, sub in li.groupby("l_returnflag"):
+        sub = sub.sort_values("cents")
+        tot = sub["q"].sum()
+        cum = sub["q"].cumsum()
+        want = sub.loc[cum * 2 >= tot, "cents"].iloc[0]
+        got = rows[flag]
+        assert got["weighted_median"] == round(want / 100.0, 2)
+        assert got["total_weight"] == tot
