@@ -336,6 +336,8 @@ HEADLINE = [
     "jaro_winkler_part_pairs",
     "kaplan_meier_conversion",
     "weighted_median_lineitem",
+    "readability_documents",
+    "interarrival_burstiness_users",
 ]
 
 

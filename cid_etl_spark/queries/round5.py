@@ -1831,3 +1831,139 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_READABILITY_SQL = r"""
+    WITH m AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+')),
+                      1) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                      1) AS syllables
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           CAST(round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                      - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+                AS DOUBLE) AS flesch
+    FROM m
+    """
+
+
+@_register("readability_documents", _READABILITY_SQL)
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with regex-countable proxies:
+    words = alphanumeric runs, sentences = [.!?] runs, syllables =
+    vowel-group runs (the standard cheap syllable estimator) — a
+    quality signal orthogonal to the Gopher-style ratio features
+    (quality_score_documents) and the LM scores.  All three counts are
+    single codegen'd regexp_count passes (no per-token lambdas); the
+    Flesch formula is one double expression rounded once.  Map-only:
+    zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    words = F.greatest(
+        F.regexp_count(F.lower(F.trim("text")), F.lit(r"[a-z0-9]+")), F.lit(1)
+    )
+    sentences = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences)
+            - F.lit(84.6) * (syllables.cast("double") / words),
+            4,
+        ).alias("flesch"),
+    )
+
+
+_BURSTINESS_SQL = """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), gaps AS (
+      SELECT user_id, epoch_us(ts - prev) // 1000000 AS gap
+      FROM ordered WHERE prev IS NOT NULL
+    ), s AS (
+      SELECT user_id, count(*) AS n, sum(gap) AS sg, sum(gap * gap) AS sgg
+      FROM gaps GROUP BY user_id HAVING count(*) >= 5
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(round(CAST(sg AS DOUBLE) / n, 2) AS DOUBLE) AS mean_gap_sec,
+           CAST(round(sqrt(greatest(CAST(n * sgg - sg * sg AS DOUBLE), 0))
+                      / n, 2) AS DOUBLE) AS sd_gap_sec,
+           CAST(round((sqrt(greatest(CAST(n * sgg - sg * sg AS DOUBLE), 0))
+                       - CAST(sg AS DOUBLE))
+                      / (sqrt(greatest(CAST(n * sgg - sg * sg AS DOUBLE), 0))
+                         + CAST(sg AS DOUBLE)), 4) AS DOUBLE) AS burstiness
+    FROM s
+    """
+
+
+@_register("interarrival_burstiness_users", _BURSTINESS_SQL)
+def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of per-user
+    inter-event gaps (B -> -1 periodic, 0 Poisson, -> +1 bursty) — the
+    time-series regularity diagnostic behind bot/automation detection.
+    Gaps are whole seconds floored from the EXACT integer-microsecond
+    difference (lag over a (ts, event_id) total order; double-epoch
+    subtraction would risk floor flips at the ~0.2 us fp resolution of
+    epoch doubles), moments are BIGINT sufficient statistics, and since
+    sigma = sqrt(n*sgg - sg^2)/n and mu = sg/n share the /n, B reduces
+    to (sqrt(D) - sg)/(sqrt(D) + sg) — sqrt is correctly rounded IEEE
+    in both engines, so the doubles agree bit-for-bit before the final
+    round.  One keyed window pass + one keyed aggregation; both
+    partition by user, no global shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds, then integer-divide to whole seconds:
+    # double-epoch subtraction risks a floor flip at ~0.2us fp error
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ordered = e.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) / F.lit(1000000))
+        .cast("bigint")
+        .alias("gap"),
+    )
+    s = (
+        ordered.where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    d = F.sqrt(
+        F.greatest(
+            (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast(
+                "double"
+            ),
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(F.col("sg").cast("double") / F.col("n"), 2).alias(
+            "mean_gap_sec"
+        ),
+        F.round(d / F.col("n"), 2).alias("sd_gap_sec"),
+        F.round(
+            (d - F.col("sg").cast("double")) / (d + F.col("sg").cast("double")),
+            4,
+        ).alias("burstiness"),
+    )

@@ -352,3 +352,26 @@ def test_weighted_median_is_weighted_midpoint(spark):
         got = rows[flag]
         assert got["weighted_median"] == round(want / 100.0, 2)
         assert got["total_weight"] == tot
+
+
+def test_readability_flesch_consistent(spark):
+    rows = _q("readability_documents", spark).collect()
+    assert rows
+    for r in rows[:50]:
+        want = round(
+            206.835
+            - 1.015 * (r["n_words"] / r["n_sentences"])
+            - 84.6 * (r["n_syllables"] / r["n_words"]),
+            4,
+        )
+        assert r["flesch"] == want
+        assert r["n_syllables"] >= 1 and r["n_words"] >= 1
+
+
+def test_burstiness_bounds_and_poisson_sign(spark):
+    rows = _q("interarrival_burstiness_users", spark).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert r["n_gaps"] >= 5
+        assert r["mean_gap_sec"] > 0
