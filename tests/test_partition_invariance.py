@@ -52,6 +52,13 @@ SENSITIVE = (
     # round 3
     "temperature_mixture_sample",  # rates from global counts + md5 gate
     "zipf_fit_tokens",           # global top-1000 heap + single-row OLS
+    # round 5: stat rows with global/keyed cumulative windows
+    "ks_test_priority_orders",   # global ECDF window over distinct values
+    "kaplan_meier_conversion",   # running log-sum product over event times
+    "weighted_median_lineitem",  # per-flag cumulative weight boundary
+    "interarrival_burstiness_users",  # keyed lag over (ts, event_id) order
+    "jaro_winkler_part_pairs",   # blocked self-join + Arrow pair scoring
+    "content_fingerprints",      # Arrow winnowing UDF batch boundaries
 )
 
 
