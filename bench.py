@@ -338,6 +338,7 @@ HEADLINE = [
     "weighted_median_lineitem",
     "readability_documents",
     "interarrival_burstiness_users",
+    "lsh_recall_report",
 ]
 
 

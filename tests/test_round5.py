@@ -375,3 +375,14 @@ def test_burstiness_bounds_and_poisson_sign(spark):
         assert -1.0 <= r["burstiness"] <= 1.0
         assert r["n_gaps"] >= 5
         assert r["mean_gap_sec"] > 0
+
+
+def test_lsh_recall_report_consistency(spark):
+    r = _q("lsh_recall_report", spark).collect()[0]
+    assert r["n_true_positives"] <= r["n_truth"]
+    assert r["n_true_positives"] <= r["n_candidates"]
+    assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+    assert r["n_truth"] > 0  # vacuous-empty guard
+    # on this fixture the near-dup families are cleanly separated, so
+    # aggressive banding (16 hashes / 4 bands) should lose nothing
+    assert r["recall"] == 1.0
