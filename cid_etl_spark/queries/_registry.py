@@ -259,7 +259,9 @@ def _ordered_names() -> list[str]:
 #: - ``minhash_lsh_pairs`` / ``simhash_pairs`` differ from their twins
 #:   ONLY in hash family (xxhash64/siphash production hashes vs md5,
 #:   which DuckDB can replay) — the twin certifies the full
-#:   shingle/band/verify pipeline end-to-end.
+#:   shingle/band/verify pipeline end-to-end, and the banding stage's
+#:   recall/precision against exact ground truth is itself an
+#:   oracle-checked quantity since round 5 (``lsh_recall_report``).
 #: - ``content_fingerprints``'s winnowing column runs a numpy
 #:   rolling-hash Arrow UDF (round 5: the interpreted-lambda expression
 #:   took 68 s at sf0.1; the vectorized path takes <1 s).  The md5 twin
@@ -274,7 +276,11 @@ def _ordered_names() -> list[str]:
 #:   LSH/IVF candidate cut) are exercised only by unit tests
 #:   (tests/test_similarity.py recall floors), NOT oracle-verified —
 #:   by construction, since the oracle would have to replay the
-#:   approximation exactly.
+#:   approximation exactly.  (The MINHASH banding family does have an
+#:   oracle-verified recall row — ``lsh_recall_report``; an analogous
+#:   row for the cosine LSH/IVF paths would need DuckDB to replay
+#:   float hyperplane projections bit-for-bit, which rounding can't
+#:   guarantee.)
 ROWS_ONLY_VERIFIED_BY: dict[str, str] = {
     "minhash_lsh_pairs": "minhash_lsh_verified",
     "simhash_pairs": "simhash_pairs_verified",
