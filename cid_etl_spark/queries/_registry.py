@@ -196,6 +196,15 @@ _ROUND4_VERIFIED: frozenset[str] = frozenset(
 #: at least once — then the five streaming rows re-verified (their
 #: staging path is refactored this round: shared read-only source
 #: stage, VERDICT r4 #5), then queries NEWLY REGISTERED this round.
+#: Round-6 rotation note: the window below is exactly 50 rows, all
+#: never-driver-verified (or stream rows re-verified after the r5
+#: staging refactor).  Queries registered AFTER the window froze sit in
+#: ``mid`` (positions 51+, builder-replica + parity verified) and are
+#: the natural r6 window: lsh_recall_report, ks_test_priority_orders,
+#: trend_slope_region_monthly, chi_square_priority_status,
+#: jaro_winkler_part_pairs, kaplan_meier_conversion,
+#: weighted_median_lineitem, readability_documents,
+#: interarrival_burstiness_users.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never-driver-verified oracled backlog (29) — clears the evidence gap
     "ab_funnel_lift", "aggregate_completeness_suite",
