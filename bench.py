@@ -339,6 +339,8 @@ HEADLINE = [
     "readability_documents",
     "interarrival_burstiness_users",
     "lsh_recall_report",
+    "mann_whitney_priority_orders",
+    "theil_sen_region_monthly",
 ]
 
 

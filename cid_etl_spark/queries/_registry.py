@@ -204,7 +204,8 @@ _ROUND4_VERIFIED: frozenset[str] = frozenset(
 #: trend_slope_region_monthly, chi_square_priority_status,
 #: jaro_winkler_part_pairs, kaplan_meier_conversion,
 #: weighted_median_lineitem, readability_documents,
-#: interarrival_burstiness_users.
+#: interarrival_burstiness_users, mann_whitney_priority_orders,
+#: theil_sen_region_monthly.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never-driver-verified oracled backlog (29) — clears the evidence gap
     "ab_funnel_lift", "aggregate_completeness_suite",

@@ -2105,3 +2105,198 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+_MWU_SQL = """
+    WITH pool AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ), by_v AS (
+      SELECT v, sum(g) AS c1, count(*) AS ct FROM pool GROUP BY v
+    ), cum AS (
+      SELECT v, c1, ct,
+             coalesce(sum(ct) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+      FROM by_v
+    ), tot AS (
+      SELECT sum(c1) AS n1, sum(ct) - sum(c1) AS n0 FROM by_v
+    ), r AS (
+      SELECT sum(c1 * (2 * below + ct + 1)) AS two_r1 FROM cum
+    )
+    SELECT CAST(two_r1 - tot.n1 * (tot.n1 + 1) AS BIGINT) AS two_u1,
+           CAST(tot.n1 AS BIGINT) AS n_urgent,
+           CAST(tot.n0 AS BIGINT) AS n_other,
+           CAST(round((CAST(two_r1 - tot.n1 * (tot.n1 + 1) AS DOUBLE) / 2
+                       - CAST(tot.n1 AS DOUBLE) * tot.n0 / 2)
+                      / sqrt(CAST(tot.n1 AS DOUBLE) * tot.n0
+                             * (tot.n1 + tot.n0 + 1) / 12), 4)
+                AS DOUBLE) AS z_score
+    FROM r, tot
+    """
+
+
+@_register("mann_whitney_priority_orders", _MWU_SQL)
+def mann_whitney_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test (urgent vs non-urgent order values),
+    the nonparametric mean-shift companion to the KS sup-distance row.
+    Average ranks with ties are kept EXACT by doubling: a value with
+    ``below`` smaller rows and ``ct`` ties has 2*avg_rank =
+    2*below + ct + 1 (integer), so 2*R1 and 2*U1 are BIGINT all the
+    way; the normal-approximation z (no tie correction — documented,
+    identical in both engines) is the only double, rounded once.
+    Same scale shape as the KS row: per-value pre-aggregate, then a
+    distinct-value-grain cumulative window."""
+    o = load_table(spark, sf_dir, "orders")
+    pool = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g"),
+    )
+    by_v = pool.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.count(F.lit(1)).alias("ct")
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_v.select(
+        "c1",
+        "ct",
+        F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("below"),
+    )
+    tot = by_v.agg(
+        F.sum("c1").alias("n1"),
+        (F.sum("ct") - F.sum("c1")).alias("n0"),
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("below") + F.col("ct") + 1)
+        ).alias("two_r1")
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("two_u1"),
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n0").cast("bigint").alias("n_other"),
+        F.round(
+            (
+                (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast(
+                    "double"
+                )
+                / 2
+                - F.col("n1").cast("double") * F.col("n0") / 2
+            )
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n0")
+                * (F.col("n1") + F.col("n0") + 1)
+                / 12
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+_THEILSEN_SQL = """
+    WITH monthly AS (
+      SELECT r.r_name AS region,
+             (extract(year FROM o.o_orderdate) * 12
+              + extract(month FROM o.o_orderdate)) AS m,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.region,
+             CAST(b.cents - a.cents AS DOUBLE) / ((b.m - a.m) * 100) AS slope
+      FROM monthly a JOIN monthly b
+        ON a.region = b.region AND a.m < b.m
+    ), ranked AS (
+      SELECT region, slope,
+             row_number() OVER (PARTITION BY region ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY region) AS n
+      FROM slopes
+    )
+    SELECT region,
+           CAST(round(avg(slope), 4) AS DOUBLE) AS theil_sen_slope,
+           CAST(max(n) AS BIGINT) AS n_pairs
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY region ORDER BY region
+    """
+
+
+@_register("theil_sen_region_monthly", _THEILSEN_SQL)
+def theil_sen_region_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per region — the median of all pairwise
+    monthly-revenue slopes, the breakdown-resistant counterpart of the
+    OLS row (trend_slope_region_monthly): one outlier month moves OLS
+    arbitrarily but shifts a median of ~3k pairwise slopes by one
+    position.  Slopes are a single IEEE division of exact integers
+    (cents delta over scaled month delta), the median picks the one or
+    two middle POSITIONS of the per-region sort (identical doubles sort
+    identically in both engines, so tie order cannot move the selected
+    values), and the even-n midpoint average is rounded once.  The
+    pairwise self-join is quadratic in MONTHS per region (~80 rows
+    here) — bounded by the calendar, not the fact volume, which is the
+    classic Theil-Sen distribution trick: aggregate to the series
+    grain first, then all-pairs the tiny series."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    a = monthly.select(
+        "region", F.col("m").alias("ma"), F.col("cents").alias("ca")
+    )
+    b = monthly.select(
+        "region", F.col("m").alias("mb"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(b, "region")
+        .where(F.col("ma") < F.col("mb"))
+        .select(
+            "region",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / ((F.col("mb") - F.col("ma")) * 100)
+            ).alias("slope"),
+        )
+    )
+    part = Window.partitionBy("region")
+    ranked = slopes.select(
+        "region",
+        "slope",
+        F.row_number().over(part.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    mid_lo = F.floor((F.col("n") + 1) / 2)
+    mid_hi = F.floor((F.col("n") + 2) / 2)
+    return (
+        ranked.where((F.col("rn") == mid_lo) | (F.col("rn") == mid_hi))
+        .groupBy("region")
+        .agg(
+            F.round(F.avg("slope"), 4).alias("theil_sen_slope"),
+            F.max("n").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("region")
+    )

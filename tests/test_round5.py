@@ -386,3 +386,58 @@ def test_lsh_recall_report_consistency(spark):
     # on this fixture the near-dup families are cleanly separated, so
     # aggressive banding (16 hashes / 4 bands) should lose nothing
     assert r["recall"] == 1.0
+
+
+def test_mann_whitney_exact_u_vs_scipy_free_reference(spark):
+    from cid_etl_spark.sources.parquet import load_table
+
+    r = _q("mann_whitney_priority_orders", spark).collect()[0]
+    o = load_table(spark, SF, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    ).toPandas()
+    o["rank"] = o["o_totalprice"].rank(method="average")
+    urgent = o[o["o_orderpriority"] == "1-URGENT"]
+    n1, n0 = len(urgent), len(o) - len(urgent)
+    r1 = urgent["rank"].sum()
+    two_u1 = int(round(2 * (r1 - n1 * (n1 + 1) / 2)))
+    assert r["two_u1"] == two_u1
+    assert r["n_urgent"] == n1 and r["n_other"] == n0
+    # U within its valid range
+    assert 0 <= r["two_u1"] <= 2 * n1 * n0
+
+
+def test_theil_sen_is_median_of_pairwise_slopes(spark):
+    import numpy as np
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    rows = {r["region"]: r for r in _q("theil_sen_region_monthly", spark).collect()}
+    assert len(rows) == 5
+    o = load_table(spark, SF, "orders").toPandas()
+    c = load_table(spark, SF, "customer").toPandas()
+    n = load_table(spark, SF, "nation").toPandas()
+    rg = load_table(spark, SF, "region").toPandas()
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    df["m"] = df["o_orderdate"].dt.year * 12 + df["o_orderdate"].dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    region = sorted(rows)[0]
+    sub = (
+        df[df["r_name"] == region]
+        .groupby("m", as_index=False)["cents"]
+        .sum()
+        .sort_values("m")
+    )
+    ms, cs = sub["m"].to_numpy(), sub["cents"].to_numpy()
+    slopes = [
+        (cs[j] - cs[i]) / ((ms[j] - ms[i]) * 100)
+        for i in range(len(ms))
+        for j in range(i + 1, len(ms))
+    ]
+    assert rows[region]["n_pairs"] == len(slopes)
+    assert rows[region]["theil_sen_slope"] == round(
+        float(np.median(slopes)), 4
+    )
