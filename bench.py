@@ -341,6 +341,8 @@ HEADLINE = [
     "lsh_recall_report",
     "mann_whitney_priority_orders",
     "theil_sen_region_monthly",
+    "autocorrelation_daily_revenue",
+    "runs_test_daily_revenue",
 ]
 
 

@@ -205,6 +205,7 @@ _ROUND4_VERIFIED: frozenset[str] = frozenset(
 #: jaro_winkler_part_pairs, kaplan_meier_conversion,
 #: weighted_median_lineitem, readability_documents,
 #: interarrival_burstiness_users, mann_whitney_priority_orders,
+#: autocorrelation_daily_revenue, runs_test_daily_revenue,
 #: theil_sen_region_monthly.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never-driver-verified oracled backlog (29) — clears the evidence gap

@@ -2300,3 +2300,191 @@ def theil_sen_region_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+_ACF_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), pos AS (
+      SELECT cents, row_number() OVER (ORDER BY d) AS rn FROM daily
+    ), tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+      FROM pos
+    ), pairs AS (
+      SELECT k.k AS lag,
+             CAST(sum(CAST(a.cents AS HUGEINT) * b.cents) AS HUGEINT) AS sxy,
+             CAST(sum(a.cents) AS HUGEINT) AS sx,
+             CAST(sum(b.cents) AS HUGEINT) AS sy,
+             CAST(count(*) AS HUGEINT) AS m
+      FROM pos a
+      JOIN (SELECT unnest(range(1, 8)) AS k) k ON true
+      JOIN pos b ON b.rn = a.rn + k.k
+      GROUP BY k.k
+    )
+    SELECT lag, CAST(m AS BIGINT) AS n_terms,
+           CAST(round(CAST(t.n * t.n * p.sxy - t.n * t.s * (p.sx + p.sy)
+                           + p.m * t.s * t.s AS DOUBLE)
+                      / CAST(t.n * (t.n * t.sxx - t.s * t.s) AS DOUBLE), 4)
+                AS DOUBLE) AS acf
+    FROM pairs p, tot t ORDER BY lag
+    """
+
+
+@_register("autocorrelation_daily_revenue", _ACF_SQL)
+def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily-revenue series — the
+    weekly-seasonality / momentum diagnostic.  The estimator
+    r_k = sum((x_t - mu)(x_{t+k} - mu)) / sum((x_t - mu)^2) is
+    rearranged into INTEGER sufficient statistics (multiply through by
+    n^2: A = n^2*Sxy - n*S*(Sx' + Sy') + m*S^2, B = n*(n*Sxx - S^2))
+    computed in decimal(38,0) / HUGEINT — float accumulation order
+    cannot move a digit, both engines divide the same exact ~1e27
+    integers once at the end.  Lag pairing is POSITIONAL
+    (row_number self-join on rn + k), not calendar, so date gaps can't
+    silently misalign the series between engines.  Pinned to a numpy
+    centered-moment reference in tests.  Scale: daily rollup is the
+    only fact-volume shuffle; everything after runs on the ~thousands
+    of series rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    pos = daily.select(
+        "cents", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = pos.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("cents")).alias("s"),
+        F.sum(dec(F.col("cents")) * F.col("cents")).alias("sxx"),
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = pos.select(F.col("cents").alias("xa"), F.col("rn").alias("ra"))
+    b = pos.select(F.col("cents").alias("xb"), F.col("rn").alias("rb"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("rb") == F.col("ra") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(dec(F.col("xa")) * F.col("xb")).alias("sxy"),
+            dec(F.sum("xa")).alias("sx"),
+            dec(F.sum("xb")).alias("sy"),
+            dec(F.count(F.lit(1))).alias("m"),
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(tot))
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("sx") + F.col("sy"))
+        + F.col("m") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("sxx") - F.col("s") * F.col("s"))
+    return j.select(
+        "lag",
+        F.col("m").cast("bigint").alias("n_terms"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias("acf"),
+    ).orderBy("lag")
+
+
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), med AS (
+      SELECT median(cents) AS m FROM daily
+    ), signs AS (
+      SELECT d, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS above
+      FROM daily, med WHERE cents <> med.m
+    ), flips AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY d) IS DISTINCT FROM above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    )
+    SELECT CAST(sum(new_run) AS BIGINT) AS n_runs,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+           CAST(round((sum(new_run)
+                       - (1.0 + 2.0 * sum(above) * (count(*) - sum(above))
+                          / count(*)))
+                      / sqrt(2.0 * sum(above) * (count(*) - sum(above))
+                             * (2.0 * sum(above) * (count(*) - sum(above))
+                                - count(*))
+                             / (CAST(count(*) AS DOUBLE) * count(*)
+                                * (count(*) - 1))), 4)
+                AS DOUBLE) AS z_score
+    FROM flips
+    """
+
+
+@_register("runs_test_daily_revenue", _RUNS_SQL)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    series: days are classified above/below the series median
+    (median-equal days dropped — the standard dichotomization), runs
+    are counted as sign changes along the date order (exact integer),
+    and the normal-approximation z uses only those three scalars, so
+    the single rounded double is identical in both engines.  The
+    sequence diagnostic beside the distribution tests (KS/MWU) and the
+    memory diagnostic (autocorrelation): trend or regime-switching
+    shows up as too FEW runs."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    med = daily.agg(F.median("cents").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("m"))
+        .select(
+            "d",
+            F.when(F.col("cents") > F.col("m"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("above"),
+        )
+    )
+    w = Window.orderBy("d")
+    flips = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("above").alias("a"),
+        (F.count(F.lit(1)) - F.sum("above")).alias("b"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    two_ab = 2.0 * F.col("a") * F.col("b")
+    return agg.select(
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.col("a").cast("bigint").alias("n_above"),
+        F.col("b").cast("bigint").alias("n_below"),
+        F.round(
+            (F.col("r") - (F.lit(1.0) + two_ab / F.col("nn")))
+            / F.sqrt(
+                two_ab
+                * (two_ab - F.col("nn"))
+                / (
+                    F.col("nn").cast("double")
+                    * F.col("nn")
+                    * (F.col("nn") - 1)
+                )
+            ),
+            4,
+        ).alias("z_score"),
+    )

@@ -441,3 +441,33 @@ def test_theil_sen_is_median_of_pairwise_slopes(spark):
     assert rows[region]["theil_sen_slope"] == round(
         float(np.median(slopes)), 4
     )
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    rows = {r["lag"]: r for r in _q("autocorrelation_daily_revenue", spark).collect()}
+    assert len(rows) == 7
+    o = load_table(spark, SF, "orders").toPandas()
+    o["d"] = o["o_orderdate"].dt.date
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    x = (
+        o.groupby("d")["cents"].sum().sort_index().to_numpy().astype(float)
+    )
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    for k in (1, 3, 7):
+        want = round(float(((x[:-k] - mu) * (x[k:] - mu)).sum() / den), 4)
+        assert rows[k]["acf"] == want, k
+        assert rows[k]["n_terms"] == len(x) - k
+    assert all(-1.0 <= r["acf"] <= 1.0 for r in rows.values())
+
+
+def test_runs_test_counts_consistent(spark):
+    r = _q("runs_test_daily_revenue", spark).collect()[0]
+    # runs bounded by [1, n]; above/below balanced by median dichotomy
+    n = r["n_above"] + r["n_below"]
+    assert 1 <= r["n_runs"] <= n
+    assert abs(r["n_above"] - r["n_below"]) <= 1
