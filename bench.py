@@ -343,6 +343,7 @@ HEADLINE = [
     "theil_sen_region_monthly",
     "autocorrelation_daily_revenue",
     "runs_test_daily_revenue",
+    "spearman_acctbal_spend",
 ]
 
 

@@ -206,6 +206,7 @@ _ROUND4_VERIFIED: frozenset[str] = frozenset(
 #: weighted_median_lineitem, readability_documents,
 #: interarrival_burstiness_users, mann_whitney_priority_orders,
 #: autocorrelation_daily_revenue, runs_test_daily_revenue,
+#: spearman_acctbal_spend,
 #: theil_sen_region_monthly.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # never-driver-verified oracled backlog (29) — clears the evidence gap

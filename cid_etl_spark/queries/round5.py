@@ -2488,3 +2488,114 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+_SPEARMAN_SQL = """
+    WITH xy AS (
+      SELECT c.c_custkey AS k, c.c_acctbal AS x,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), rx AS (
+      SELECT x, sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS below, cnt
+      FROM (SELECT x, count(*) AS cnt FROM xy GROUP BY x)
+    ), ry AS (
+      SELECT y, sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS below, cnt
+      FROM (SELECT y, count(*) AS cnt FROM xy GROUP BY y)
+    ), ranked AS (
+      SELECT 2 * coalesce(rx.below, 0) + rx.cnt + 1 AS tx,
+             2 * coalesce(ry.below, 0) + ry.cnt + 1 AS ty
+      FROM xy JOIN rx ON xy.x = rx.x JOIN ry ON xy.y = ry.y
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(tx) AS HUGEINT) AS sx,
+             CAST(sum(ty) AS HUGEINT) AS sy,
+             CAST(sum(CAST(tx AS HUGEINT) * tx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ty AS HUGEINT) * ty) AS HUGEINT) AS syy,
+             CAST(sum(CAST(tx AS HUGEINT) * ty) AS HUGEINT) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+                AS DOUBLE) AS spearman_rho
+    FROM s
+    """
+
+
+@_register("spearman_acctbal_spend", _SPEARMAN_SQL)
+def spearman_acctbal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer account balance and
+    total order spend — the monotone-association screen that survives
+    outliers and nonlinearity where Pearson doesn't.  Tie-safe and
+    float-free until the last step: average ranks are doubled into
+    integers (2*avg_rank = 2*below + ties + 1, the mann_whitney trick)
+    via per-value aggregates joined back on the value, then Pearson on
+    the doubled ranks from decimal(38,0)/HUGEINT sufficient statistics;
+    the two sqrt's and one division of exact integers happen once.
+    Rank assignment never uses row_number, so cross-engine tie order is
+    irrelevant by construction.  Pinned to pandas rank().corr() in
+    tests.  Scale: one fact rollup + two distinct-value-grain windows +
+    hash joins back on value."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    xy = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("x"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "y"
+            )
+        )
+    )
+
+    def doubled_ranks(df, col):
+        byv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return byv.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"t{col}"),
+        )
+
+    ranked = (
+        xy.join(doubled_ranks(xy, "x"), "x")
+        .join(doubled_ranks(xy, "y"), "y")
+        .select("tx", "ty")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum("tx")).alias("sx"),
+        dec(F.sum("ty")).alias("sy"),
+        F.sum(dec(F.col("tx")) * F.col("tx")).alias("sxx"),
+        F.sum(dec(F.col("ty")) * F.col("ty")).alias("syy"),
+        F.sum(dec(F.col("tx")) * F.col("ty")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            4,
+        ).alias("spearman_rho"),
+    )

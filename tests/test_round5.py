@@ -471,3 +471,21 @@ def test_runs_test_counts_consistent(spark):
     n = r["n_above"] + r["n_below"]
     assert 1 <= r["n_runs"] <= n
     assert abs(r["n_above"] - r["n_below"]) <= 1
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    from cid_etl_spark.sources.parquet import load_table
+
+    r = _q("spearman_acctbal_spend", spark).collect()[0]
+    o = load_table(spark, SF, "orders").toPandas()
+    c = load_table(spark, SF, "customer").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    xy = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_custkey", "c_acctbal"], as_index=False)["cents"]
+        .sum()
+    )
+    want = round(float(xy["c_acctbal"].rank().corr(xy["cents"].rank())), 4)
+    assert r["spearman_rho"] == want
+    assert r["n_customers"] == len(xy)
+    assert -1.0 <= r["spearman_rho"] <= 1.0
