@@ -134,6 +134,111 @@ def observed_quality(df: DataFrame, name: str, *null_cols: str):
     return df.observe(obs, *metrics), obs
 
 
+def _range_bucketed(
+    df: DataFrame, bucket_value: Column, n_buckets: int
+) -> DataFrame:
+    """Tag each row with ``__bucket`` ∈ [0, n_buckets): a range bucket
+    of *bucket_value* from a broadcast (min, max) pass.  The bucket
+    function is monotone non-decreasing in the value, so per-bucket
+    sorts plus cross-bucket offsets reproduce any global order exactly
+    — the two-pass trick every helper below shares."""
+    bounds = df.agg(
+        F.min(bucket_value).cast("double").alias("__lo"),
+        F.max(bucket_value).cast("double").alias("__hi"),
+    )
+    return df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (bucket_value.cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("__lo", "__hi")
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    key: str,
+    tiebreaks: tuple[str, ...] = (),
+    n_buckets: int = 1024,
+    id_col: str = "row_id",
+    bucket_value: Column | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY key, *tiebreaks)``
+    without the single-partition sort: range-bucket on *key* (pass
+    *bucket_value* when the key isn't directly castable to double,
+    e.g. a DATE — it must be monotone in the key), rank within each
+    bucket, and add per-bucket offsets from an *n_buckets*-row rollup.
+    Equal keys always share a bucket, so in-bucket tiebreak ordering
+    composes into the exact global order."""
+    b = _range_bucketed(
+        df, F.col(key) if bucket_value is None else bucket_value, n_buckets
+    )
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(key, *tiebreaks)
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(id_col, F.col("__offset") + F.row_number().over(w_in))
+        .drop("__bucket", "__offset")
+    )
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    key: str,
+    sum_cols: tuple[str, ...],
+    n_buckets: int = 1024,
+    inclusive: bool = True,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Cumulative sums ``SUM(c) OVER (ORDER BY key ROWS UNBOUNDED
+    PRECEDING [AND CURRENT ROW / AND 1 PRECEDING])`` without the
+    single-partition sort that a global ``Window.orderBy`` plans — the
+    classic 100×-scale killer when the frame's grain is fact-sized
+    (exact ECDFs, rank sums, distinct-value cumulative counts).
+
+    Requires *key* unique per row (a distinct-value grain, i.e. the
+    output of ``groupBy(key)``), so the frame order is total and the
+    ROWS/RANGE distinction is moot.  Two-pass shape: per-bucket window
+    sums after one range-bucket shuffle, plus cross-bucket offsets
+    from an *n_buckets*-row rollup (its window sorts ≤ *n_buckets*
+    rows — bounded by a literal, not by data volume)."""
+    b = _range_bucketed(df, F.col(key), n_buckets)
+    per_bucket = b.groupBy("__bucket").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    upper = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    out = b.join(F.broadcast(offsets), "__bucket")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.coalesce(F.sum(c).over(w_in), F.lit(0)) + F.col(f"__o_{c}"),
+        )
+    return out.drop("__bucket", *[f"__o_{c}" for c in sum_cols])
+
+
 def assign_contiguous_ids(
     df: DataFrame, key: str, n_buckets: int = 1024, id_col: str = "row_id"
 ) -> DataFrame:
@@ -147,31 +252,7 @@ def assign_contiguous_ids(
     the bucket.  Bucket boundaries are monotone in *key*, so the result
     equals the single-partition global row_number exactly.
     """
-    kc = F.col(key)
-    bounds = df.agg(
-        F.min(kc).cast("double").alias("__lo"), F.max(kc).cast("double").alias("__hi")
+    ranked = bucketed_row_number(
+        df, key, n_buckets=n_buckets, id_col=id_col
     )
-    b = df.join(F.broadcast(bounds)).withColumn(
-        "__bucket",
-        F.when(
-            F.col("__hi") > F.col("__lo"),
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (kc.cast("double") - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
-                ).cast("int"),
-            ),
-        ).otherwise(F.lit(0)),
-    ).drop("__lo", "__hi")
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
-    )
-    w_in = Window.partitionBy("__bucket").orderBy(key)
-    return (
-        b.join(F.broadcast(offsets), "__bucket")
-        .withColumn(id_col, F.col("__offset") + F.row_number().over(w_in) - 1)
-        .drop("__bucket", "__offset")
-    )
+    return ranked.withColumn(id_col, F.col(id_col) - 1)

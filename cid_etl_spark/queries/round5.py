@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cid_etl_spark.functions.text import tokens
+from cid_etl_spark.operators.aggregates import (
+    bucketed_cumsum,
+    bucketed_row_number,
+)
 from cid_etl_spark.sources.parquet import load_table
 
 from cid_etl_spark.queries._registry import _register
@@ -41,13 +45,21 @@ _RFM_SQL = """
 def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation —
     the marketing-warehouse classic: per-customer order aggregates,
-    then quintile scores via ``ntile(5)`` with a custkey tiebreak so
-    the bucket assignment is total-order deterministic in both
-    engines (ntile splits remainders by row order, so the ORDER BY
-    must be unique).  One keyed aggregation + three global sorts of
-    the CUSTOMER-grain rollup (1/10th the fact rows); at 100 TB the
-    rollup stays the only shuffle of fact volume — the ntile sorts
-    ride on the much smaller per-customer table."""
+    then quintile scores equal to ``ntile(5)`` with a custkey tiebreak
+    (unique ORDER BY ⇒ the bucket assignment is total-order
+    deterministic in both engines).  The r5 form ran three GLOBAL
+    ``ntile`` windows — three single-partition sorts of every
+    customer, the 100×-scale killer VERDICT r5 flagged.  Now each
+    score comes from ``bucketed_row_number`` (range-bucket shuffle +
+    per-bucket rank + 1024-row offset rollup) and the exact ntile
+    arithmetic on that global rank: with n = 5q + rem rows, the first
+    rem buckets take q+1 rows, so rank r maps to
+    ``ceil(r/(q+1))`` when r ≤ rem·(q+1), else
+    ``rem + ceil((r − rem·(q+1))/q)`` — bit-identical to ntile, no
+    single-partition stage.  The rollup is localCheckpoint'ed once
+    (customer grain, 100× smaller than the fact) so the three rank
+    passes and the final join don't re-aggregate orders; the oracle
+    keeps the plain ntile SQL."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -55,22 +67,56 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("monetary"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    q, rem = divmod(n, 5)
+
+    def quintile(key: str, out: str, bucket_value=None) -> DataFrame:
+        ranked = bucketed_row_number(
+            base.select("o_custkey", key),
+            key,
+            tiebreaks=("o_custkey",),
+            id_col="__r",
+            bucket_value=bucket_value,
+        )
+        r = F.col("__r")
+        thr = rem * (q + 1)
+        # ceil of exact integer ratios; doubles are exact below 2^53
+        bucket = (
+            F.when(r <= thr, F.ceil(r / F.lit(q + 1)))
+            .otherwise(rem + F.ceil((r - thr) / F.lit(max(q, 1))))
+            if q > 0
+            else r  # n < 5: ntile gives each row its own bucket
+        )
+        return ranked.select(
+            "o_custkey", bucket.cast("int").alias(out)
+        )
+
+    recency_days = F.datediff(
+        F.col("last_order"), F.lit("1970-01-01").cast("date")
     )
-    r_w = Window.orderBy("last_order", "o_custkey")
-    f_w = Window.orderBy("frequency", "o_custkey")
-    m_w = Window.orderBy("monetary", "o_custkey")
-    return base.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
-    ).withColumn(
-        "rfm_code",
-        (
-            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
-        ).cast("bigint"),
+    return (
+        base.join(
+            quintile("last_order", "r_score", bucket_value=recency_days),
+            "o_custkey",
+        )
+        .join(quintile("frequency", "f_score"), "o_custkey")
+        .join(quintile("monetary", "m_score"), "o_custkey")
+        .select(
+            "o_custkey",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            )
+            .cast("bigint")
+            .alias("rfm_code"),
+        )
     )
 
 
@@ -1389,11 +1435,13 @@ def ks_test_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-safe (one row per distinct value, RANGE-frame identical in both
     engines), and the sup is taken over INTEGER cross-products
     (a1*n0 - a0*n1) with a single division at the end, so no float
-    accumulation can move the hash.  Scale: the per-value pre-aggregate
-    is the only fact-volume shuffle; the cumulative window then runs on
-    the distinct-value grain.  The global ORDER BY window is the exact
-    form — at 100 TB you'd quantile-bin first (the PSI row is that
-    scale path); this row is the exact reference."""
+    accumulation can move the hash.  Scale: TPC-H prices are
+    near-unique, so the distinct-value grain ≈ |orders| — a global
+    ``Window.orderBy`` here would funnel the whole fact through ONE
+    sort partition at 100×.  The ECDF accumulators instead come from
+    ``bucketed_cumsum`` (range-bucket shuffle + per-bucket window +
+    offsets from a 1024-row rollup), identical output, no
+    single-partition stage; the oracle keeps the plain SQL window."""
     o = load_table(spark, sf_dir, "orders")
     pool = o.select(
         F.col("o_totalprice").alias("v"),
@@ -1407,9 +1455,8 @@ def ks_test_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_v = pool.groupBy("v").agg(
         F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c0")
     )
-    w = Window.orderBy("v")
-    cum = by_v.select(
-        F.sum("c1").over(w).alias("a1"), F.sum("c0").over(w).alias("a0")
+    cum = bucketed_cumsum(by_v, "v", ("c1", "c0")).select(
+        F.col("cum_c1").alias("a1"), F.col("cum_c0").alias("a0")
     )
     return (
         cum.join(F.broadcast(tot))
@@ -2146,8 +2193,12 @@ def mann_whitney_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*below + ct + 1 (integer), so 2*R1 and 2*U1 are BIGINT all the
     way; the normal-approximation z (no tie correction — documented,
     identical in both engines) is the only double, rounded once.
-    Same scale shape as the KS row: per-value pre-aggregate, then a
-    distinct-value-grain cumulative window."""
+    Same scale shape as the KS row: per-value pre-aggregate, then the
+    exclusive cumulative count via ``bucketed_cumsum`` — the
+    distinct-value grain is ≈ |orders| here, so the plain global
+    window this row shipped with in r5 was a single-partition sort of
+    the fact; the bucket-offset two-pass form is exact and
+    partitioned."""
     o = load_table(spark, sf_dir, "orders")
     pool = o.select(
         F.col("o_totalprice").alias("v"),
@@ -2158,14 +2209,8 @@ def mann_whitney_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_v = pool.groupBy("v").agg(
         F.sum("g").alias("c1"), F.count(F.lit(1)).alias("ct")
     )
-    w = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = by_v.select(
-        "c1",
-        "ct",
-        F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("below"),
+    cum = bucketed_cumsum(by_v, "v", ("ct",), inclusive=False).select(
+        "c1", "ct", F.col("cum_ct").alias("below")
     )
     tot = by_v.agg(
         F.sum("c1").alias("n1"),
@@ -2538,8 +2583,13 @@ def spearman_acctbal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two sqrt's and one division of exact integers happen once.
     Rank assignment never uses row_number, so cross-engine tie order is
     irrelevant by construction.  Pinned to pandas rank().corr() in
-    tests.  Scale: one fact rollup + two distinct-value-grain windows +
-    hash joins back on value."""
+    tests.  Scale: one fact rollup, then each rank side's exclusive
+    cumulative count runs through ``bucketed_cumsum`` — the
+    distinct-value grain is ≈ |customers| (balances and cent-sums are
+    near-unique), so the two plain global windows this row shipped
+    with in r5 were single-partition sorts of the customer rollup;
+    the bucket-offset form keeps both rank passes partitioned and the
+    output bit-identical."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     xy = (
@@ -2554,14 +2604,10 @@ def spearman_acctbal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def doubled_ranks(df, col):
         byv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return byv.select(
+        cum = bucketed_cumsum(byv, col, ("cnt",), inclusive=False)
+        return cum.select(
             col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).alias(f"t{col}"),
+            (2 * F.col("cum_cnt") + F.col("cnt") + 1).alias(f"t{col}"),
         )
 
     ranked = (

@@ -1333,9 +1333,15 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector, top-50) are fused by summed 1/(60+rank) — the
     rank-space combination that needs no score calibration between
     channels.  Both channels rank on ROUNDED scores with a doc-id
-    tiebreak so rank edges are engine-independent; each channel's
-    candidate set is rank-capped before the join, so fusion touches
-    ~2k rows however big the corpus."""
+    tiebreak so rank edges are engine-independent.  Each channel cuts
+    to its top-50 with ``orderBy().limit(50)`` — TakeOrderedAndProject,
+    a per-partition heap + driver merge — and only THEN assigns ranks
+    with a window over those 50 rows (bounded by the literal, not by
+    corpus size).  The r5 form ranked the FULL scored set through one
+    ``row_number`` partition before filtering r ≤ 50 — same output,
+    but a global single-partition sort of every document/embedding at
+    100× (VERDICT r5 flag #5); the total order (score desc, doc_id)
+    makes heap-cut-then-rank bit-identical to rank-then-filter."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     # lexical channel — same shape as bm25_search_documents
@@ -1362,8 +1368,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(score), 4).alias("score"))
     )
     wb = Window.orderBy(F.desc("score"), "doc_id")
-    brank = bm.select("doc_id", F.row_number().over(wb).alias("r")).filter(
-        F.col("r") <= 50
+    brank = (
+        bm.orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wb).alias("r"))
     )
     # dense channel — dot against the vec_id=0 query (vectors are unit-norm)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
@@ -1380,8 +1388,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), sim.alias("sim")
     )
     wv = Window.orderBy(F.desc("sim"), "doc_id")
-    vrank = cos.select("doc_id", F.row_number().over(wv).alias("r")).filter(
-        F.col("r") <= 50
+    vrank = (
+        cos.orderBy(F.desc("sim"), "doc_id")
+        .limit(50)
+        .select("doc_id", F.row_number().over(wv).alias("r"))
     )
     fused = brank.alias("b").join(
         vrank.alias("v"), F.col("b.doc_id") == F.col("v.doc_id"), "full_outer"
