@@ -818,7 +818,16 @@ def pq_adc_topk(
         lloyd_iters=lloyd_iters,
     )
 
-    qpdf = queries.select(query_id_col, query_vec_col).limit(max_queries).toPandas()
+    # orderBy before limit: an unordered limit keeps a partition/plan-
+    # dependent subset once the query set exceeds max_queries, silently
+    # diverging from an oracle that scores every query (ADVICE r5 #2);
+    # ordered, the kept subset is the deterministic id-smallest prefix.
+    qpdf = (
+        queries.select(query_id_col, query_vec_col)
+        .orderBy(query_id_col)
+        .limit(max_queries)
+        .toPandas()
+    )
     qids = qpdf[query_id_col].to_numpy()
     qv = np.array(qpdf[query_vec_col].tolist(), dtype="float64")
     qi = np.floor(qv * scale + 0.5).astype("int64")

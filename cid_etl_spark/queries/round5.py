@@ -1329,11 +1329,21 @@ _CCNET_BUCKETS_SQL = r"""
         SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
     ), tot AS (
         SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq
+    ), per_doc AS (
+        SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS k
+        FROM tok GROUP BY doc_id, lang, token
+    ), collected AS (
+        SELECT p.doc_id, p.lang,
+               list({'c': f.cnt, 'k': p.k} ORDER BY f.cnt, p.k) AS terms,
+               CAST(sum(p.k) AS BIGINT) AS t
+        FROM per_doc p JOIN freq f USING (token)
+        GROUP BY p.doc_id, p.lang
     ), scored AS (
-        SELECT t.doc_id, t.lang,
-               round(-avg(ln(f.cnt / tot.n)), 4) AS xent
-        FROM tok t JOIN freq f USING (token), tot
-        GROUP BY t.doc_id, t.lang
+        SELECT doc_id, lang,
+               round(-list_sum(list_transform(terms,
+                     s -> CAST(s.k AS DOUBLE) * ln(s.c / tot.n))) / t, 4)
+                   AS xent
+        FROM collected, tot
     ), bucketed AS (
         SELECT lang,
                CAST(round(xent * 10000) AS BIGINT) AS xe4,
@@ -1359,12 +1369,18 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail terciles WITHIN its language via ntile(3) with a
     doc_id tiebreak (total order => deterministic bucket boundaries in
     both engines), reported as per-(lang, tier) counts and score
-    ranges.  The per-doc score is rounded to 4dp BEFORE bucketing and
-    the tier average is computed over exact integer ten-thousandths
-    (sum of BIGINTs, one division at the end), so no float-accumulation
-    order can move a hash.  Frequency table broadcasts; the only
-    fact-volume shuffle is the per-doc rollup; the ntile sort runs on
-    the doc-grain table, 1000x smaller than the token stream."""
+    ranges.  The per-doc log-sum is accumulated over a
+    DETERMINISTICALLY SORTED term list (sort_array / list ORDER BY —
+    the session_entropy_users convention): an unordered float avg has
+    engine-chosen accumulation order, and a score within float noise
+    of a 0.00005 rounding boundary could round differently across
+    engines and flip a tercile (ADVICE r5 #3).  The score is rounded
+    to 4dp BEFORE bucketing and the tier average is computed over
+    exact integer ten-thousandths (sum of BIGINTs, one division at the
+    end).  Frequency table broadcasts; the only fact-volume shuffles
+    are the token rollups; the per-doc lists hold DISTINCT doc terms
+    (vocab-bounded), and the ntile sort runs on the doc-grain table,
+    1000x smaller than the token stream."""
     d = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
@@ -1375,15 +1391,31 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
-    scored = (
-        tok.join(F.broadcast(freq), "token")
-        .join(F.broadcast(tot))
+    per_doc = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    collected = (
+        per_doc.join(F.broadcast(freq), "token")
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(-F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
-                "xent"
-            )
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("cnt").alias("c"), F.col("k").alias("k"))
+                )
+            ).alias("terms"),
+            F.sum("k").cast("bigint").alias("t"),
         )
+    )
+    ssum = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["k"].cast("double") * F.log(s["c"] / F.col("n")),
+    )
+    scored = collected.join(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        F.round(-ssum / F.col("t"), 4).alias("xent"),
     )
     bw = Window.partitionBy("lang").orderBy("xent", "doc_id")
     bucketed = scored.select(
@@ -1744,6 +1776,12 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(1 - d/n) — both engines evaluate the identical double
     expression in the identical t-order, rounded once (precedent: the
     CCNet perplexity-bucket row ships avg-of-logs the same way).
+    Hour buckets floor the EXACT integer-microsecond difference
+    (unix_micros, the interarrival_burstiness_users convention): a
+    double-epoch subtraction carries ~0.2 µs fp error at epoch
+    magnitude, enough to flip the floor for a pair landing exactly on
+    an hour boundary (ADVICE r5 #1); the nearest off-boundary µs is
+    150× the quotient's ulp away, so the integer path cannot flip.
     Scale: one user-grain rollup shuffle; everything after runs on the
     distinct-event-time grain.  First 20 event times returned."""
     e = load_table(spark, sf_dir, "events")
@@ -1757,20 +1795,21 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     horizon = e.agg(F.max("ts").alias("t_end"))
 
-    def _epoch(c):
-        return F.col(c).cast("timestamp_ltz").cast("double")
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
 
+    hour_us = F.lit(3600 * 1000 * 1000)
     subjects = (
         firsts.where(F.col("t_click").isNotNull())
         .join(F.broadcast(horizon))
         .select(
             F.when(
                 F.col("t_buy").isNotNull() & (F.col("t_buy") >= F.col("t_click")),
-                F.floor((_epoch("t_buy") - _epoch("t_click")) / 3600),
+                F.floor((_us("t_buy") - _us("t_click")) / hour_us),
             )
             .cast("bigint")
             .alias("t_event"),
-            F.floor((_epoch("t_end") - _epoch("t_click")) / 3600)
+            F.floor((_us("t_end") - _us("t_click")) / hour_us)
             .cast("bigint")
             .alias("t_cens"),
         )
