@@ -1,0 +1,69 @@
+"""Physical-plan audit helpers — detect the scale anti-patterns that
+shuffle counts can't see.
+
+VERDICT r5 found five queries whose plans were green on every shuffle
+metric yet funneled a fact-sized grain through ONE window partition: a
+window sort is not an ``Exchange hashpartitioning``, so PLANS.md's
+shuffle column missed it.  The detector here walks the executed-plan
+tree string for ``Window → Sort → Exchange SinglePartition`` chains —
+the exact physical shape of ``Window.orderBy`` with no
+``partitionBy`` — and classifies each by what feeds the exchange:
+
+- **bounded**: the node under the exchange is the ``__bucket`` offset
+  rollup of :func:`cid_etl_spark.operators.aggregates.bucketed_cumsum`
+  / ``bucketed_row_number`` (≤ ``n_buckets`` rows by construction, a
+  literal, not a data volume) — the sanctioned two-pass pattern.
+- **suspect**: anything else.  A suspect window is not automatically a
+  bug — a 5-row region rollup is fine — but every one must be
+  explicitly justified in ``tests/test_plans.py``'s audit table, so a
+  new fact-grain global window fails CI instead of surviving four
+  rounds like the r5 statistical batch did.
+
+``Window`` directly over ``TakeOrderedAndProject`` (the heap-cut-then-
+rank form hybrid_rrf uses) plans with NO single-partition exchange, so
+it never trips the detector.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: Node names that start a single-partition-ordered window chain.
+_WINDOW_RE = re.compile(r"\b(Window|WindowGroupLimit|RunningWindowFunction)\b")
+_SORT_RE = re.compile(r"\bSort \[")
+_EXCHANGE_SP = "Exchange SinglePartition"
+#: The bucket-offset rollup signature: a grouped aggregate keyed on the
+#: range bucket column our helpers generate (bounded by n_buckets).
+_BOUNDED_FEED_RE = re.compile(r"HashAggregate\(keys=\[__bucket")
+
+
+def single_partition_windows(plan: str) -> dict[str, int]:
+    """Count ``Window → Sort → Exchange SinglePartition`` chains in an
+    executed-plan tree string.  Returns ``{"bounded": b, "suspect":
+    s}`` per the classification above."""
+    lines = plan.splitlines()
+    bounded = suspect = 0
+    for i, line in enumerate(lines):
+        if _EXCHANGE_SP not in line:
+            continue
+        # Sort and Window are unary, so the chain is CONSECUTIVE lines:
+        # the exchange's parent is the line above, the Sort's parent the
+        # line above that (one extra hop when WindowGroupLimit sits
+        # between the Window and its Sort)
+        if i < 2 or not _SORT_RE.search(lines[i - 1]):
+            continue
+        window_above = bool(_WINDOW_RE.search(lines[i - 2])) or (
+            i >= 3
+            and "WindowGroupLimit" in lines[i - 2]
+            and _WINDOW_RE.search(lines[i - 3])
+        )
+        if not window_above:
+            continue
+        feed_bounded = i + 1 < len(lines) and _BOUNDED_FEED_RE.search(
+            lines[i + 1]
+        )
+        if feed_bounded:
+            bounded += 1
+        else:
+            suspect += 1
+    return {"bounded": bounded, "suspect": suspect}

@@ -190,77 +190,108 @@ _ROUND4_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-#: Round-5 driver window, most-valuable-first (VERDICT r4 asks #1/#2):
-#: the 29 never-driver-verified oracled queries FIRST — after this
-#: window every oracled query in the registry has been driver-checked
-#: at least once — then the five streaming rows re-verified (their
-#: staging path is refactored this round: shared read-only source
-#: stage, VERDICT r4 #5), then queries NEWLY REGISTERED this round.
-#: Round-6 rotation note: the window below is exactly 50 rows, all
-#: never-driver-verified (or stream rows re-verified after the r5
-#: staging refactor).  Queries registered AFTER the window froze sit in
-#: ``mid`` (positions 51+, builder-replica + parity verified) and are
-#: the natural r6 window: lsh_recall_report, ks_test_priority_orders,
-#: trend_slope_region_monthly, chi_square_priority_status,
-#: jaro_winkler_part_pairs, kaplan_meier_conversion,
-#: weighted_median_lineitem, readability_documents,
-#: interarrival_burstiness_users, mann_whitney_priority_orders,
-#: autocorrelation_daily_revenue, runs_test_daily_revenue,
-#: spearman_acctbal_spend,
-#: theil_sen_region_monthly.
+#: Round-5 driver window, hash-verified 50/50 (CORRECTNESS_r05.json) —
+#: after this round every oracled query had been driver-checked at
+#: least once EXCEPT the 14 late-r5 statistical rows (registered after
+#: the window froze; builder-replica + sf0.001-parity green, queued
+#: first for r6).
+_ROUND5_VERIFIED: frozenset[str] = frozenset(
+    {
+        "ab_funnel_lift", "aggregate_completeness_suite",
+        "anomaly_months_orders", "approx_topk_priorities",
+        "audience_overlap_events", "benford_first_digit_orders",
+        "ccnet_quality_buckets", "consecutive_dup_collapse",
+        "contiguous_ids_documents", "copurchase_part_pairs",
+        "countmin_heavy_users_events", "cross_split_contamination",
+        "cusum_changepoint_orders", "data_profile_orders",
+        "data_quality_expectations", "dp_noised_counts",
+        "dup_family_size_histogram", "embedding_quantize_int8",
+        "event_transition_matrix", "feature_hashing_documents",
+        "gdpr_erasure_cascade", "gini_by_region_orders",
+        "grouping_id_disambiguation", "headdup_keep_longest",
+        "interval_overlap_shipments", "knn_label_vote_embeddings",
+        "mad_outliers_events", "media_audio_features",
+        "multigrain_time_rollup", "multiset_ops_orders",
+        "null_safe_join_counts", "ohlc_user_hourly", "parse_url_suite",
+        "pmi_bigrams_tokens", "pq_adc_topk", "pseudonymize_events",
+        "psi_drift_orders", "repeated_spans_documents",
+        "revenue_share_within_region", "rfm_segmentation_customers",
+        "rolling_corr_daily_events", "salted_join_events_hot",
+        "seasonal_naive_mape_orders", "seasonality_index_orders",
+        "session_entropy_users", "source_similarity_weighted_jaccard",
+        "stream_dedup_admission", "stream_user_totals_stateful",
+        "target_encode_loo_orders", "tokenizer_fertility_by_lang",
+    }
+)
+
+#: All driver-verified rounds, oldest first — the freshness ladder
+#: behind :func:`_ordered_names`.  A name appearing in several sets is
+#: dated by its LATEST green row.
+_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
+    _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
+    _ROUND4_VERIFIED, _ROUND5_VERIFIED,
+)
+
+#: Round-6 driver window, most-valuable-first (VERDICT r5 asks #1/#2):
+#: (a) the 14 late-r5 statistical rows — the last never-driver-verified
+#: oracled queries (three of them — ks/mwu/spearman — additionally
+#: rewritten this round onto bucketed_cumsum, and kaplan_meier onto
+#: exact-microsecond bucketing); (b) the three streaming rows not
+#: re-driver-verified since the r5 staging refactor; (c) the queries
+#: whose RESULTS or plans changed this round (rfm → exact-ntile-on-
+#: bucketed-rank, hybrid_rrf → heap-cut-then-rank, ccnet → sorted
+#: accumulation per ADVICE r5, pq_adc → deterministic query truncation).
+#: The remaining ~29 slots fall through to the freshness rule in
+#: ``_ordered_names``: oldest-driver-green first (the r1 set, whose
+#: last driver check predates four rounds of refactors).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-driver-verified oracled backlog (29) — clears the evidence gap
-    "ab_funnel_lift", "aggregate_completeness_suite",
-    "anomaly_months_orders", "approx_topk_priorities",
-    "audience_overlap_events", "consecutive_dup_collapse",
-    "contiguous_ids_documents", "copurchase_part_pairs",
-    "data_quality_expectations", "dp_noised_counts",
-    "embedding_quantize_int8", "event_transition_matrix",
-    "gdpr_erasure_cascade", "grouping_id_disambiguation",
-    "headdup_keep_longest", "interval_overlap_shipments",
-    "mad_outliers_events", "media_audio_features",
-    "multigrain_time_rollup", "multiset_ops_orders",
-    "null_safe_join_counts", "ohlc_user_hourly", "parse_url_suite",
-    "pseudonymize_events", "psi_drift_orders",
-    "revenue_share_within_region", "salted_join_events_hot",
-    "seasonal_naive_mape_orders", "source_similarity_weighted_jaccard",
-    # the two state-store streaming rows re-verified after the
-    # shared-stage + fan-out-4 refactor (the other three stream rows
-    # share the same staging helper and stay green in the full replica,
-    # DRIVER_CHECK.json; window slots go to never-verified rows first)
-    "stream_user_totals_stateful", "stream_dedup_admission",
-    # queries newly registered in round 5 take the remaining slots
-    "pq_adc_topk",
-    "rfm_segmentation_customers", "benford_first_digit_orders",
-    "session_entropy_users", "knn_label_vote_embeddings",
-    "rolling_corr_daily_events", "data_profile_orders",
-    "pmi_bigrams_tokens", "gini_by_region_orders",
-    "cusum_changepoint_orders", "feature_hashing_documents",
-    "target_encode_loo_orders", "countmin_heavy_users_events",
-    "tokenizer_fertility_by_lang", "dup_family_size_histogram",
-    "seasonality_index_orders", "repeated_spans_documents",
-    "cross_split_contamination", "ccnet_quality_buckets",
+    # (a) never-driver-verified statistical backlog (14)
+    "lsh_recall_report", "ks_test_priority_orders",
+    "trend_slope_region_monthly", "chi_square_priority_status",
+    "jaro_winkler_part_pairs", "kaplan_meier_conversion",
+    "weighted_median_lineitem", "readability_documents",
+    "interarrival_burstiness_users", "mann_whitney_priority_orders",
+    "autocorrelation_daily_revenue", "runs_test_daily_revenue",
+    "spearman_acctbal_spend", "theil_sen_region_monthly",
+    # (b) streaming rows sharing _stage_event_stream, refactored in r5
+    "stream_hourly_events", "stream_sessionized_users",
+    "stream_click_attribution",
+    # (c) changed this round (scale rewrites + ADVICE determinism fixes)
+    "rfm_segmentation_customers", "hybrid_rrf_search",
+    "ccnet_quality_buckets", "pq_adc_topk", "curriculum_phases",
 )
 
 
 def _ordered_names() -> list[str]:
-    """Registry order = the driver's verification budget: the round's
-    priority window first, then unverified oracled queries, then
-    already-verified ones, and the rows-only entries (no DuckDB
-    oracle — a driver slot spent on them can only score ``err:
-    no_oracle``) dead last (VERDICT r4 #2)."""
-    verified = (
-        _ROUND1_VERIFIED | _ROUND2_VERIFIED | _ROUND3_VERIFIED
-        | _ROUND4_VERIFIED
-    )
+    """Registry order = the driver's verification budget (the driver
+    checks the FIRST 50 entries of ``queries()`` each round):
+
+    1. this round's explicit priority window (changed/new/suspect rows);
+    2. never-driver-verified oracled queries;
+    3. verified oracled queries, OLDEST green row first (name-sorted
+       within a round) — the standing freshness rule (VERDICT r5 #6):
+       once everything has been verified at least once, each window
+       automatically re-verifies the rows whose last driver check is
+       stalest, so verification decays gracefully instead of freezing
+       at "verified once in round 1";
+    4. rows-only entries (no DuckDB oracle — a driver slot spent on
+       them can only score ``err: no_oracle``) dead last.
+    """
     front = [n for n in _DRIVER_WINDOW_PRIORITY if n in _SPARK]
     seen = set(front)
     rows_only = [
         n for n in _SPARK if n not in seen and n not in _ORACLE
     ]
     seen.update(rows_only)
-    mid = [n for n in _SPARK if n not in seen and n not in verified]
-    back = [n for n in _SPARK if n not in seen and n in verified]
+    last_round: dict[str, int] = {}
+    for rnd, names in enumerate(_VERIFIED_ROUNDS, start=1):
+        for n in names:
+            last_round[n] = rnd
+    mid = [n for n in _SPARK if n not in seen and n not in last_round]
+    back = sorted(
+        (n for n in _SPARK if n not in seen and n in last_round),
+        key=lambda n: (last_round[n], n),
+    )
     return front + mid + back + rows_only
 
 

@@ -23,7 +23,12 @@ from cid_etl_spark.functions.text import (
 )
 from cid_etl_spark.functions.text import LANG_MARKERS
 from cid_etl_spark.functions.vectors import cosine_similarity
-from cid_etl_spark.operators.aggregates import count_if, decimal_sum, money
+from cid_etl_spark.operators.aggregates import (
+    bucketed_row_number,
+    count_if,
+    decimal_sum,
+    money,
+)
 from cid_etl_spark.operators.dedup import (
     minhash_dedup_pairs,
     priority_dedup,
@@ -617,14 +622,18 @@ def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: rank the corpus by a difficulty proxy
     (mean token length — longer tokens ≈ rarer vocabulary) and cut it
-    into four training phases with ntile, reporting per-phase
-    composition.  The deterministic (difficulty, doc_id) order makes
-    phase boundaries engine-stable.  Scale note: a global ntile is a
-    single-partition sort at the limit — at 100 TB swap in the
-    percentile-threshold form (quantile_trim_documents' 1-row
-    broadcast pattern) to assign phases map-side; the report shape
-    stays identical, which is why the phase/composition contract is
-    pinned here."""
+    into four training phases, reporting per-phase composition.  The
+    deterministic (difficulty, doc_id) order makes phase boundaries
+    engine-stable.  The r5 form ran a GLOBAL ``ntile(4)`` — a
+    single-partition sort of every document, exactly the anti-pattern
+    this round's plan audit (``spw`` column) exists to catch.  Now the
+    global rank comes from ``bucketed_row_number`` (range-bucket
+    shuffle + per-bucket rank + 1024-row offset rollup) and the phase
+    from the exact ntile arithmetic on that rank and the corpus count
+    (a broadcast 1-row aggregate, kept lazy): with n = 4q + rem, rank
+    r ≤ rem·(q+1) ⇒ phase ceil(r/(q+1)), else rem + ceil((r −
+    rem·(q+1))/q) — bit-identical to ntile, no single-partition
+    stage; the oracle keeps the plain ntile SQL."""
     d = load_table(spark, sf_dir, "documents")
     difficulty = F.round(
         F.col("n_chars").cast("double")
@@ -634,8 +643,22 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = d.select("doc_id", "lang", difficulty.alias("difficulty"))
-    w = Window.orderBy("difficulty", "doc_id")
-    phased = scored.withColumn("phase", F.ntile(4).over(w))
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = bucketed_row_number(
+        scored, "difficulty", tiebreaks=("doc_id",), id_col="__r"
+    ).join(F.broadcast(total))
+    r, n = F.col("__r"), F.col("__n")
+    q = F.floor(n / 4)
+    rem = n - 4 * q
+    thr = rem * (q + 1)
+    # ceil of exact integer ratios; doubles are exact below 2^53, and
+    # the q=0 branch (n < 4) always lands in the when-arm (thr = n ≥ r)
+    phase = F.when(r <= thr, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - thr) / F.greatest(q, F.lit(1)))
+    )
+    phased = ranked.withColumn("phase", phase.cast("int")).drop(
+        "__r", "__n"
+    )
     return phased.groupBy("phase", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.min("difficulty"), 6).alias("min_difficulty"),

@@ -59,6 +59,15 @@ SENSITIVE = (
     "interarrival_burstiness_users",  # keyed lag over (ts, event_id) order
     "jaro_winkler_part_pairs",   # blocked self-join + Arrow pair scoring
     "content_fingerprints",      # Arrow winnowing UDF batch boundaries
+    # round 6: bucket-offset rank/cumsum rewrites join the
+    # partition-sensitive class (range bucketing + per-bucket windows
+    # + broadcast offsets must reproduce the global order exactly
+    # under ANY shuffle layout); ks_test + curriculum already above
+    "mann_whitney_priority_orders",  # exclusive bucketed cumsum (below)
+    "spearman_acctbal_spend",    # doubled ranks from two bucketed cumsums
+    "rfm_segmentation_customers",  # exact ntile on three bucketed ranks
+    "hybrid_rrf_search",         # heap-cut-then-rank per channel
+    "ccnet_quality_buckets",     # sorted-list log accumulation per doc
 )
 
 
