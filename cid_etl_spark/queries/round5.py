@@ -56,10 +56,13 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem buckets take q+1 rows, so rank r maps to
     ``ceil(r/(q+1))`` when r ≤ rem·(q+1), else
     ``rem + ceil((r − rem·(q+1))/q)`` — bit-identical to ntile, no
-    single-partition stage.  The rollup is localCheckpoint'ed once
-    (customer grain, 100× smaller than the fact) so the three rank
-    passes and the final join don't re-aggregate orders; the oracle
-    keeps the plain ntile SQL."""
+    single-partition stage.  Everything stays lazy (n rides a
+    broadcast 1-row count); the rollup is re-derived by the rank
+    passes' internal aggregates, which all run concurrently inside the
+    one job — at sf0.1 that beats an eager checkpoint by ~0.9 s
+    (stage floors dominate a 15k-row table), while at warehouse scale
+    the rollup is the natural ``persist()`` point.  The oracle keeps
+    the plain ntile SQL."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -67,55 +70,59 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("monetary"),
-    ).localCheckpoint(eager=True)
-    n = base.count()
-    q, rem = divmod(n, 5)
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    n = F.col("__n")
+    q = F.floor(n / 5)
+    rem = n - 5 * q
+    thr = rem * (q + 1)
+
+    def ntile5(rank_col: str):
+        # exact ntile arithmetic on the global rank; ceil of exact
+        # integer ratios (doubles exact below 2^53), and the q=0
+        # branch (n < 5) always lands in the when-arm (thr = n ≥ r)
+        r = F.col(rank_col)
+        return (
+            F.when(r <= thr, F.ceil(r / (q + 1)))
+            .otherwise(rem + F.ceil((r - thr) / F.greatest(q, F.lit(1))))
+            .cast("int")
+        )
 
     def quintile(key: str, out: str, bucket_value=None) -> DataFrame:
-        ranked = bucketed_row_number(
+        return bucketed_row_number(
             base.select("o_custkey", key),
             key,
             tiebreaks=("o_custkey",),
-            id_col="__r",
+            id_col=f"__r_{out}",
             bucket_value=bucket_value,
-        )
-        r = F.col("__r")
-        thr = rem * (q + 1)
-        # ceil of exact integer ratios; doubles are exact below 2^53
-        bucket = (
-            F.when(r <= thr, F.ceil(r / F.lit(q + 1)))
-            .otherwise(rem + F.ceil((r - thr) / F.lit(max(q, 1))))
-            if q > 0
-            else r  # n < 5: ntile gives each row its own bucket
-        )
-        return ranked.select(
-            "o_custkey", bucket.cast("int").alias(out)
-        )
+        ).select("o_custkey", f"__r_{out}")
 
     recency_days = F.datediff(
         F.col("last_order"), F.lit("1970-01-01").cast("date")
     )
     return (
         base.join(
-            quintile("last_order", "r_score", bucket_value=recency_days),
+            quintile("last_order", "r", bucket_value=recency_days),
             "o_custkey",
         )
-        .join(quintile("frequency", "f_score"), "o_custkey")
-        .join(quintile("monetary", "m_score"), "o_custkey")
+        .join(quintile("frequency", "f"), "o_custkey")
+        .join(quintile("monetary", "m"), "o_custkey")
+        .join(F.broadcast(total))
         .select(
             "o_custkey",
             "frequency",
             "monetary",
-            "r_score",
-            "f_score",
-            "m_score",
+            ntile5("__r_r").alias("r_score"),
+            ntile5("__r_f").alias("f_score"),
+            ntile5("__r_m").alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
             (
                 F.col("r_score") * 100
                 + F.col("f_score") * 10
                 + F.col("m_score")
-            )
-            .cast("bigint")
-            .alias("rfm_code"),
+            ).cast("bigint"),
         )
     )
 
