@@ -135,18 +135,32 @@ def observed_quality(df: DataFrame, name: str, *null_cols: str):
 
 
 def _range_bucketed(
-    df: DataFrame, bucket_value: Column, n_buckets: int
+    df: DataFrame,
+    bucket_value: Column,
+    n_buckets: int,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tag each row with ``__bucket`` ∈ [0, n_buckets): a range bucket
-    of *bucket_value* from a broadcast (min, max) pass.  The bucket
-    function is monotone non-decreasing in the value, so per-bucket
-    sorts plus cross-bucket offsets reproduce any global order exactly
-    — the two-pass trick every helper below shares."""
-    bounds = df.agg(
-        F.min(bucket_value).cast("double").alias("__lo"),
-        F.max(bucket_value).cast("double").alias("__hi"),
-    )
-    return df.join(F.broadcast(bounds)).withColumn(
+    of *bucket_value* from a broadcast (min, max) pass — per
+    *partition_by* group when given (a low-cardinality grouping like
+    lang/region/segment: the bounds rollup stays a |groups|-row
+    broadcast).  The bucket function is monotone non-decreasing in the
+    value within each group, so per-bucket sorts plus cross-bucket
+    offsets reproduce any per-group order exactly — the two-pass trick
+    every helper below shares."""
+    if partition_by:
+        bounds = df.groupBy(*partition_by).agg(
+            F.min(bucket_value).cast("double").alias("__lo"),
+            F.max(bucket_value).cast("double").alias("__hi"),
+        )
+        b = df.join(F.broadcast(bounds), list(partition_by))
+    else:
+        bounds = df.agg(
+            F.min(bucket_value).cast("double").alias("__lo"),
+            F.max(bucket_value).cast("double").alias("__hi"),
+        )
+        b = df.join(F.broadcast(bounds))
+    return b.withColumn(
         "__bucket",
         F.when(
             F.col("__hi") > F.col("__lo"),
@@ -168,25 +182,43 @@ def bucketed_row_number(
     n_buckets: int = 1024,
     id_col: str = "row_id",
     bucket_value: Column | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Global 1-based ``row_number() OVER (ORDER BY key, *tiebreaks)``
-    without the single-partition sort: range-bucket on *key* (pass
-    *bucket_value* when the key isn't directly castable to double,
-    e.g. a DATE — it must be monotone in the key), rank within each
-    bucket, and add per-bucket offsets from an *n_buckets*-row rollup.
-    Equal keys always share a bucket, so in-bucket tiebreak ordering
-    composes into the exact global order."""
+    """1-based ``row_number() OVER ([PARTITION BY *partition_by*]
+    ORDER BY key, *tiebreaks)`` without the single-partition sort (or,
+    with *partition_by*, without one sort partition per group — a
+    5-value lang/region/segment key gives only 5 sort tasks however
+    big the fact, the same scale killer divided by five): range-bucket
+    on *key* (pass *bucket_value* when the key isn't directly castable
+    to double, e.g. a DATE — it must be monotone in the key), rank
+    within each (group, bucket), and add per-bucket offsets from a
+    |groups|·*n_buckets*-row rollup whose own window sorts ≤
+    *n_buckets* rows per group.  Equal keys always share a bucket, so
+    in-bucket tiebreak ordering composes into the exact per-group
+    order."""
     b = _range_bucketed(
-        df, F.col(key) if bucket_value is None else bucket_value, n_buckets
+        df,
+        F.col(key) if bucket_value is None else bucket_value,
+        n_buckets,
+        partition_by,
     )
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    gcols = list(partition_by)
+    counts = b.groupBy(*gcols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
-        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+        *gcols,
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
     )
-    w_in = Window.partitionBy("__bucket").orderBy(key, *tiebreaks)
+    w_in = Window.partitionBy(*gcols, "__bucket").orderBy(key, *tiebreaks)
     return (
-        b.join(F.broadcast(offsets), "__bucket")
+        b.join(F.broadcast(offsets), gcols + ["__bucket"])
         .withColumn(id_col, F.col("__offset") + F.row_number().over(w_in))
         .drop("__bucket", "__offset")
     )
@@ -199,25 +231,35 @@ def bucketed_cumsum(
     n_buckets: int = 1024,
     inclusive: bool = True,
     prefix: str = "cum_",
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Cumulative sums ``SUM(c) OVER (ORDER BY key ROWS UNBOUNDED
-    PRECEDING [AND CURRENT ROW / AND 1 PRECEDING])`` without the
-    single-partition sort that a global ``Window.orderBy`` plans — the
-    classic 100×-scale killer when the frame's grain is fact-sized
-    (exact ECDFs, rank sums, distinct-value cumulative counts).
+    """Cumulative sums ``SUM(c) OVER ([PARTITION BY *partition_by*]
+    ORDER BY key ROWS UNBOUNDED PRECEDING [AND CURRENT ROW / AND 1
+    PRECEDING])`` without the single-partition sort that a global
+    ``Window.orderBy`` plans — the classic 100×-scale killer when the
+    frame's grain is fact-sized (exact ECDFs, rank sums,
+    distinct-value cumulative counts); with *partition_by*, without
+    one fact-sized sort task per low-cardinality group.
 
-    Requires *key* unique per row (a distinct-value grain, i.e. the
-    output of ``groupBy(key)``), so the frame order is total and the
-    ROWS/RANGE distinction is moot.  Two-pass shape: per-bucket window
-    sums after one range-bucket shuffle, plus cross-bucket offsets
-    from an *n_buckets*-row rollup (its window sorts ≤ *n_buckets*
-    rows — bounded by a literal, not by data volume)."""
-    b = _range_bucketed(df, F.col(key), n_buckets)
-    per_bucket = b.groupBy("__bucket").agg(
+    Requires *key* unique per row within its group (a distinct-value
+    grain, i.e. the output of ``groupBy(*partition_by, key)``), so the
+    frame order is total and the ROWS/RANGE distinction is moot.
+    Two-pass shape: per-bucket window sums after one range-bucket
+    shuffle, plus cross-bucket offsets from a |groups|·*n_buckets*-row
+    rollup (its window sorts ≤ *n_buckets* rows per group — bounded by
+    a literal, not by data volume)."""
+    b = _range_bucketed(df, F.col(key), n_buckets, partition_by)
+    gcols = list(partition_by)
+    per_bucket = b.groupBy(*gcols, "__bucket").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
     )
-    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = per_bucket.select(
+        *gcols,
         "__bucket",
         *[
             F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(f"__o_{c}")
@@ -226,11 +268,11 @@ def bucketed_cumsum(
     )
     upper = 0 if inclusive else -1
     w_in = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*gcols, "__bucket")
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, upper)
     )
-    out = b.join(F.broadcast(offsets), "__bucket")
+    out = b.join(F.broadcast(offsets), gcols + ["__bucket"])
     for c in sum_cols:
         out = out.withColumn(
             f"{prefix}{c}",

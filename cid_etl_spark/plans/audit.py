@@ -67,3 +67,64 @@ def single_partition_windows(plan: str) -> dict[str, int]:
         else:
             suspect += 1
     return {"bounded": bounded, "suspect": suspect}
+
+
+#: Columns whose domain is bounded by a handful of values in the
+#: fixture star schema (and in any TPC-H-shaped warehouse): a window
+#: partitioned ONLY by these keys runs one task per value, so its
+#: per-task input is fact-volume / |values| — the same scale killer as
+#: a single-partition window, divided by five (round-6 audit class).
+LOW_CARDINALITY_COLS: frozenset[str] = frozenset(
+    {
+        "lang", "source", "region", "r_name", "n_name", "c_mktsegment",
+        "event_type", "flag", "split", "o_orderpriority", "o_orderstatus",
+        "l_returnflag", "l_linestatus", "segment", "bucket", "phase",
+        "grp", "p", "s",
+    }
+)
+
+_WINDOW_SPEC_RE = re.compile(
+    r"\bWindow \[.*?\], \[([^\]]*)\](?:, \[([^\]]*)\])?"
+)
+_COL_NAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def lowcard_partition_windows(
+    plan: str, lowcard: frozenset[str] = LOW_CARDINALITY_COLS
+) -> int:
+    """Count Window nodes partitioned ONLY by low-cardinality columns
+    over a potentially fact-sized input — each such window runs one
+    task per partition value however many executors exist.  A window
+    whose next line is a ``WindowGroupLimit`` is exempt: Spark's
+    rank-limit pushdown prunes each map partition to the top-k BEFORE
+    the shuffle (both Partial and Final group limits appear in the
+    plan), so per-value sort tasks see ≤ k·n_input_partitions rows,
+    not the fact.  Windows with at least one non-low-cardinality
+    partition column (doc_id, user_id, ``__bucket``...) parallelize by
+    key and are fine."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        m = _WINDOW_SPEC_RE.search(line)
+        if not m:
+            continue
+        part_spec, order_spec = m.group(1), m.group(2)
+        if order_spec is None and (
+            " ASC" in part_spec or " DESC" in part_spec
+        ):
+            # empty partition spec: the single bracket group is the
+            # ORDER spec — that's the single-partition-window class,
+            # counted by single_partition_windows, not here
+            continue
+        part_cols = {c.lower() for c in _COL_NAME_RE.findall(part_spec)}
+        if not part_cols or not part_cols.issubset(lowcard):
+            continue
+        if order_spec and "__bucket" in order_spec:
+            # the offset rollup of the PARTITIONED bucketed helpers:
+            # |groups|·n_buckets rows, each window partition ≤
+            # n_buckets rows — bounded by a literal, not data volume
+            continue
+        if i + 1 < len(lines) and "WindowGroupLimit" in lines[i + 1]:
+            continue
+        hits += 1
+    return hits

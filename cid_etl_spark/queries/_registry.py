@@ -256,9 +256,14 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (b) streaming rows sharing _stage_event_stream, refactored in r5
     "stream_hourly_events", "stream_sessionized_users",
     "stream_click_attribution",
-    # (c) changed this round (scale rewrites + ADVICE determinism fixes)
+    # (c) changed this round (scale rewrites + ADVICE determinism fixes;
+    # the second batch is the low-cardinality-partition-window class —
+    # per-lang/region/segment/flag windows moved onto the partitioned
+    # bucket-offset helpers)
     "rfm_segmentation_customers", "hybrid_rrf_search",
     "ccnet_quality_buckets", "pq_adc_topk", "curriculum_phases",
+    "gini_by_region_orders", "rank_customers_in_segment",
+    "pack_sequences_documents", "pretraining_data_pipeline",
 )
 
 

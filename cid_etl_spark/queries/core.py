@@ -872,16 +872,47 @@ def lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank + ntile over a total (tie-broken) order."""
+    """Per-segment rank + quartile over a total (tie-broken) order.
+    The ORDER BY is unique (custkey tiebreak), so ``dense_rank`` ≡
+    ``row_number`` — and since |segments| = 5, the r5
+    ``Window.partitionBy(segment)`` form was 5 sort tasks each
+    carrying a fifth of all customers at 100× (r6 plan-audit class).
+    Ranks now come from the partitioned ``bucketed_row_number``
+    (descending balance via a negated bucket key) and the quartile
+    from exact ntile(4) arithmetic on that rank with a 5-row count
+    rollup; the oracle keeps the plain dense_rank/ntile SQL, and the
+    builtins themselves stay demonstrated in
+    window_distribution_suite / window_value_functions."""
+    from cid_etl_spark.operators.aggregates import bucketed_row_number
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return c.select(
+    base = c.select(
         "c_custkey",
         "c_mktsegment",
-        F.dense_rank().over(w).alias("seg_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        (-F.col("c_acctbal")).alias("__negbal"),
+    )
+    seg_n = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ranked = bucketed_row_number(
+        base,
+        "__negbal",
+        tiebreaks=("c_custkey",),
+        id_col="__r",
+        partition_by=("c_mktsegment",),
+    ).join(F.broadcast(seg_n), "c_mktsegment")
+    r, n = F.col("__r"), F.col("__n")
+    q = F.floor(n / 4)
+    rem = n - 4 * q
+    thr = rem * (q + 1)
+    quartile = F.when(r <= thr, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - thr) / F.greatest(q, F.lit(1)))
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        r.cast("int").alias("seg_rank"),
+        quartile.cast("int").alias("quartile"),
     )
 
 

@@ -624,9 +624,14 @@ def gini_by_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, the whale-dependence metric.  Revenue rides as
     integer CENTS so the rank-weighted sum is int64-exact (max ~1e15
     per region, well inside int64); one fact aggregation, broadcast
-    dim joins (customer→nation→region), then a per-region sort of
-    customer-grain rows.  Tie-break on custkey makes ranks — and the
-    oracle — deterministic."""
+    dim joins (customer→nation→region), then per-region ranks from the
+    partitioned ``bucketed_row_number`` — |regions| = 5, so the r5
+    ``Window.partitionBy("region")`` form was 5 sort tasks each
+    carrying a fifth of all customers at 100×; the bucketed form keeps
+    every sort task bucket-bounded, and the per-region (n, total) come
+    from a 5-row rollup broadcast instead of whole-partition windows.
+    Tie-break on custkey makes ranks — and the oracle —
+    deterministic."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -644,15 +649,20 @@ def gini_by_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    pw = Window.partitionBy("region")
-    ranked = rev.select(
-        "region",
-        "cents",
-        F.row_number()
-        .over(Window.partitionBy("region").orderBy("cents", "c_custkey"))
-        .alias("i"),
-        F.count(F.lit(1)).over(pw).cast("bigint").alias("n"),
-        F.sum("cents").over(pw).cast("bigint").alias("total"),
+    stats = rev.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    ranked = (
+        bucketed_row_number(
+            rev,
+            "cents",
+            tiebreaks=("c_custkey",),
+            id_col="i",
+            partition_by=("region",),
+        )
+        .join(F.broadcast(stats), "region")
+        .select("region", "cents", "i", "n", "total")
     )
     return ranked.groupBy("region", "n", "total").agg(
         F.round(
@@ -1424,12 +1434,30 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(-ssum / F.col("t"), 4).alias("xent"),
     )
-    bw = Window.partitionBy("lang").orderBy("xent", "doc_id")
-    bucketed = scored.select(
+    # per-lang tercile WITHOUT one fact-sized sort task per language:
+    # |langs| ≈ 5, so Window.partitionBy("lang") puts ~corpus/5 docs
+    # through each sort task at 100×.  Exact ntile(3) arithmetic on the
+    # partitioned bucketed rank + a |langs|-row count rollup instead.
+    lang_n = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = bucketed_row_number(
+        scored,
+        "xent",
+        tiebreaks=("doc_id",),
+        id_col="__r",
+        partition_by=("lang",),
+    ).join(F.broadcast(lang_n), "lang")
+    r, n = F.col("__r"), F.col("__n")
+    q = F.floor(n / 3)
+    rem = n - 3 * q
+    thr = rem * (q + 1)
+    tile = F.when(r <= thr, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - thr) / F.greatest(q, F.lit(1)))
+    )
+    bucketed = ranked.select(
         "lang",
         F.round(F.col("xent") * 10000).cast("bigint").alias("xe4"),
         "xent",
-        F.ntile(3).over(bw).cast("bigint").alias("bucket"),
+        tile.cast("bigint").alias("bucket"),
     )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1899,8 +1927,13 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     value whose doubled cumulative weight reaches the total (integer
     comparison, no float until the final /100 display division).
     Scale: the (flag, cents) pre-aggregate is the only fact-volume
-    shuffle; the per-flag cumulative window runs on the distinct-price
-    grain within each flag partition."""
+    shuffle — but its grain is near-unique (distinct PRICES per flag ≈
+    |lineitem|/3), so the r5 per-flag cumulative window was 3 sort
+    tasks each carrying a third of the fact.  The cumulative weight
+    now comes from the partitioned ``bucketed_cumsum`` (per-(flag,
+    bucket) windows + a 3·1024-row offset rollup) and the per-flag
+    total from a 3-row rollup broadcast — identical integers, no
+    fact-sized sort task."""
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -1908,12 +1941,11 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("q"),
     )
     g = w.groupBy("flag", "cents").agg(F.sum("q").alias("qsum"))
-    part = Window.partitionBy("flag")
-    c = g.select(
-        "flag",
-        "cents",
-        F.sum("qsum").over(part.orderBy("cents")).alias("cw"),
-        F.sum("qsum").over(part).alias("tot"),
+    tots = g.groupBy("flag").agg(F.sum("qsum").alias("tot"))
+    c = bucketed_cumsum(
+        g, "cents", ("qsum",), partition_by=("flag",)
+    ).join(F.broadcast(tots), "flag").select(
+        "flag", "cents", F.col("cum_qsum").alias("cw"), "tot"
     )
     return (
         c.where(2 * F.col("cw") >= F.col("tot"))

@@ -908,21 +908,22 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     512)``).  Output is the per-sequence manifest a data loader reads.
 
     This is the SQL-expressible form of LLM batch packing: a running
-    ``SUM`` window (one shuffle on ``lang``, single per-partition
-    sort) then a partial-aggregating rollup.  At 100 TB the per-lang
-    order-by becomes a range partition on ``(lang, doc_id)`` — the
-    window never needs all of a language on one executor, only
-    contiguous doc_id ranges with carried-in offsets."""
+    ``SUM`` in ``doc_id`` order per language, then a
+    partial-aggregating rollup.  The r5 form ran one
+    ``Window.partitionBy("lang")`` sort task per language — at 100 TB
+    that is ~corpus/|langs| docs through each of ~5 tasks.  The prefix
+    sum now comes from the partitioned ``bucketed_cumsum`` (range
+    partition on doc_id within lang + carried-in offsets from a
+    |langs|·1024-row rollup) — exactly the scale path the r5 docstring
+    promised, with bit-identical output since doc_id is unique."""
     from cid_etl_spark.functions.text import token_count
+    from cid_etl_spark.operators.aggregates import bucketed_cumsum
 
     d = load_table(spark, sf_dir, "documents")
     c = d.select("doc_id", "lang", token_count("text").alias("n_tok"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = c.withColumn("cum", F.sum("n_tok").over(w))
+    c = bucketed_cumsum(
+        c, "doc_id", ("n_tok",), partition_by=("lang",)
+    ).withColumnRenamed("cum_n_tok", "cum")
     c = c.withColumn(
         "seq_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512)).cast("bigint")
     )

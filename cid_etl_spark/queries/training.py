@@ -24,6 +24,7 @@ from cid_etl_spark.functions.text import (
 from cid_etl_spark.functions.text import LANG_MARKERS
 from cid_etl_spark.functions.vectors import cosine_similarity
 from cid_etl_spark.operators.aggregates import (
+    bucketed_cumsum,
     bucketed_row_number,
     count_if,
     decimal_sum,
@@ -1303,16 +1304,14 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = quota.select(
         "doc_id", "lang", F.size(F.split(F.col("__t"), r"\s+")).alias("n_tok")
     )
-    w_pack = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = toks.withColumn(
-        "seq_id",
-        F.floor(F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / 512.0).cast(
-            "bigint"
-        ),
+    # exclusive per-lang prefix sum via the partitioned bucket-offset
+    # form: the plain Window.partitionBy("lang") prefix sum is one
+    # fact-sized sort task per language at scale (r6 plan-audit class);
+    # doc_id is unique, so the bucketed form is bit-identical
+    packed = bucketed_cumsum(
+        toks, "doc_id", ("n_tok",), inclusive=False, partition_by=("lang",)
+    ).withColumn(
+        "seq_id", F.floor(F.col("cum_n_tok") / 512.0).cast("bigint")
     )
     return packed.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -81,6 +81,63 @@ def test_constant_key_all_one_bucket(spark):
     assert len(cum) == 1 and cum[0]["cum_c"] == 9
 
 
+@pytest.mark.parametrize("n_buckets", [2, 1024])
+def test_partitioned_row_number_matches_keyed_window(spark, df, n_buckets):
+    # low-cardinality group key (3 values) — one rank sequence per group
+    g = df.withColumn("grp", (F.col("tb") % 3).cast("int"))
+    got = {
+        (r["grp"], r["tb"]): r["rn"]
+        for r in bucketed_row_number(
+            g,
+            "v",
+            tiebreaks=("tb",),
+            n_buckets=n_buckets,
+            id_col="rn",
+            partition_by=("grp",),
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "tb")
+    want = {
+        (r["grp"], r["tb"]): r["rn"]
+        for r in g.select(
+            "grp", "tb", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_partitioned_cumsum_matches_keyed_window(spark, df, inclusive):
+    g = df.withColumn("grp", (F.col("tb") % 3).cast("int"))
+    by_v = g.groupBy("grp", "v").agg(F.sum("c").alias("c"))
+    got = {
+        (r["grp"], r["v"]): r["cum_c"]
+        for r in bucketed_cumsum(
+            by_v,
+            "v",
+            ("c",),
+            n_buckets=2,
+            inclusive=inclusive,
+            partition_by=("grp",),
+        ).collect()
+    }
+    upper = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    want = {
+        (r["grp"], r["v"]): r["cum_c"]
+        for r in by_v.select(
+            "grp",
+            "v",
+            F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_c"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_assign_contiguous_ids_zero_based_dense(spark, df):
     ids = sorted(
         r["row_id"]

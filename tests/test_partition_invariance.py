@@ -68,6 +68,11 @@ SENSITIVE = (
     "rfm_segmentation_customers",  # exact ntile on three bucketed ranks
     "hybrid_rrf_search",         # heap-cut-then-rank per channel
     "ccnet_quality_buckets",     # sorted-list log accumulation per doc
+    # round 6, second batch: partitioned bucket-offset rewrites
+    "gini_by_region_orders",     # per-region bucketed ranks + 5-row stats
+    "rank_customers_in_segment", # per-segment rank + exact ntile(4)
+    "weighted_median_lineitem",  # per-flag partitioned bucketed cumsum
+    "pack_sequences_documents",  # per-lang prefix sum via bucket offsets
 )
 
 

@@ -349,15 +349,35 @@ SINGLE_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
 }
 
 
-def test_no_unaudited_single_partition_windows(spark):
-    """The r5 class: a single-partition window whose input grain scales
-    with the fact (near-unique values, per-customer rollups, full
-    scored corpora).  Every registered query's executed plan is swept;
-    suspect chains must match the audit table above EXACTLY — a new
-    global ``Window.orderBy`` over fact-grain input fails here instead
-    of surviving until a judge round (and a fixed query must drop its
-    stale audit entry)."""
-    from cid_etl_spark.plans.audit import single_partition_windows
+#: Audit table for windows partitioned ONLY by LOW-CARDINALITY columns
+#: (lang/region/segment/flag/... — one task per value, fact/|values|
+#: rows per task at scale; the round-6 class).  Rank-filters pruned by
+#: WindowGroupLimit and the partitioned bucket-offset rollups are
+#: auto-exempt in the detector; everything else must be listed here
+#: with why its window INPUT is bounded by something other than fact
+#: volume.
+LOWCARD_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
+    "chi_square_priority_status": (2, "marginal windows over the (priority × status) contingency grain, ≤ 15 rows"),
+    "resample_gapfill_events": (1, "per-type gap-fill over 15-minute calendar buckets; |buckets| rows"),
+    "revenue_share_within_region": (1, "share-of-total over the NATION-grain rollup, 25 rows"),
+    "theil_sen_region_monthly": (2, "median-of-slopes over month-pair grain per region, calendar-bounded (|months|²/2)"),
+    "window_distribution_suite": (1, "§2.5 builtin-coverage demo (percent_rank/cume_dist/ntile share one spec); the production-scale rank path is bucketed_row_number, exercised by gini/rfm/ccnet/rank_customers"),
+}
+
+
+def test_no_unaudited_single_partition_or_lowcard_windows(spark):
+    """The r5/r6 classes: (a) a single-partition window whose input
+    grain scales with the fact (near-unique values, per-customer
+    rollups, full scored corpora); (b) a window partitioned only by a
+    handful-of-values column, which is the same killer divided by
+    |values|.  Every registered query's executed plan is swept once;
+    counts must match the audit tables EXACTLY — a new fact-grain
+    window fails here instead of surviving until a judge round (and a
+    fixed query must drop its stale audit entry)."""
+    from cid_etl_spark.plans.audit import (
+        lowcard_partition_windows,
+        single_partition_windows,
+    )
 
     mismatches = []
     for name, fn in QUERIES.items():
@@ -375,4 +395,8 @@ def test_no_unaudited_single_partition_windows(spark):
         expected = SINGLE_PARTITION_WINDOW_AUDIT.get(name, (0, ""))[0]
         if suspect != expected:
             mismatches.append((name, f"suspect spw {suspect} != audited {expected}"))
+        lcw = lowcard_partition_windows(plan)
+        lcw_expected = LOWCARD_PARTITION_WINDOW_AUDIT.get(name, (0, ""))[0]
+        if lcw != lcw_expected:
+            mismatches.append((name, f"lowcard windows {lcw} != audited {lcw_expected}"))
     assert not mismatches, mismatches
