@@ -29,11 +29,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from probe_sf1_capstones import (  # noqa: E402 - sibling probe helpers
+    _rest,
     completed_stages,
     stage_stats,
 )
 
 SF_BASE = "/root/testdata/sf0.1"
+
+
+def longest_task_ms(ui: str, app_id: str, stage_ids, stages) -> int:
+    """Max single-task duration across the given stages — THE metric
+    the single-partition/low-parallelism window forms fail at scale:
+    their sort runs as ONE task whose duration grows with data volume
+    on one core, while every bucketed stage's longest task is bounded
+    by bucket width."""
+    worst = 0
+    for sid in stage_ids:
+        s = stages.get(sid)
+        if not s or s.get("numCompleteTasks", 0) < 1:
+            continue
+        try:
+            q = _rest(
+                ui,
+                f"/api/v1/applications/{app_id}/stages/{sid}/"
+                f"{s['attemptId']}/taskSummary?quantiles=1.0",
+            )
+            worst = max(worst, int(q["duration"][0]))
+        except Exception:
+            continue
+    return worst
 
 
 def build_stats_replica(spark, replicas: int, out_dir: str) -> None:
@@ -83,6 +107,23 @@ def build_stats_replica(spark, replicas: int, out_dir: str) -> None:
     )
     cust.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "customer.parquet")
+    )
+    li = load_table(spark, SF_BASE, "lineitem")
+    lmax = li.agg(F.max("l_orderkey").alias("ok")).first()
+    lrep = replicate(
+        li,
+        {
+            "l_orderkey": F.col("l_orderkey")
+            + F.col("__k") * (lmax["ok"] + 1),
+            # +k/100 cents per replica: distinct extended prices grow
+            # with volume, keeping the (flag, cents) grain fact-sized
+            "l_extendedprice": F.round(
+                F.col("l_extendedprice") + F.col("__k") * 0.01, 2
+            ),
+        },
+    )
+    lrep.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
     )
 
 
@@ -220,6 +261,38 @@ def rfm_naive(spark, sf_dir):
     )
 
 
+def wm_naive(spark, sf_dir):
+    """The r5 weighted_median form: per-flag cumulative window +
+    whole-partition total — one sort task per return flag (3 flags)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cid_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = w.groupBy("flag", "cents").agg(F.sum("q").alias("qsum"))
+    part = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("qsum").over(part.orderBy("cents")).alias("cw"),
+        F.sum("qsum").over(part).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("cents") / 100.0, 2).alias("weighted_median"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -272,6 +345,14 @@ def main() -> int:
                 F.count(F.lit(1)), F.sum("rfm_code")
             ),
         ),
+        "weighted_median": (
+            lambda d: q["weighted_median_lineitem"](spark, d).agg(
+                F.sum("weighted_median"), F.sum("total_weight")
+            ),
+            lambda d: wm_naive(spark, d).agg(
+                F.sum("weighted_median"), F.sum("total_weight")
+            ),
+        ),
     }
 
     results = {}
@@ -284,17 +365,19 @@ def main() -> int:
             fn(probe_dir).first()
             wall = time.perf_counter() - t0
             stages = completed_stages(ui, app_id)
-            skew, _sid, spill = stage_stats(
-                ui, app_id, set(stages) - seen, stages
-            )
+            new_ids = set(stages) - seen
+            skew, _sid, spill = stage_stats(ui, app_id, new_ids, stages)
+            longest = longest_task_ms(ui, app_id, new_ids, stages)
             results[name][form] = {
                 "wall_sec": round(wall, 2),
                 "max_over_median_task": round(skew, 1),
+                "longest_task_ms": longest,
                 "spill_bytes": spill,
             }
             print(
-                f"{name:13s} {form:17s} wall={wall:6.2f}s "
-                f"max/median_task={skew:.1f} spill={spill}"
+                f"{name:15s} {form:17s} wall={wall:6.2f}s "
+                f"max/median_task={skew:.1f} longest_task={longest}ms "
+                f"spill={spill}"
             )
 
     shutil.rmtree(probe_dir, ignore_errors=True)
