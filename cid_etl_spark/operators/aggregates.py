@@ -160,9 +160,15 @@ def _range_bucketed(
             F.max(bucket_value).cast("double").alias("__hi"),
         )
         b = df.join(F.broadcast(bounds))
+    # NULL keys get bucket -1: ASC window order puts NULLS FIRST, and
+    # Spark's `least` SKIPS nulls, so without the explicit branch a
+    # null key would compute a null bucket, fall through `least` to
+    # n_buckets-1, and sort AFTER every non-null key — the opposite of
+    # the window semantics these helpers must reproduce exactly
     return b.withColumn(
         "__bucket",
-        F.when(
+        F.when(bucket_value.isNull(), F.lit(-1))
+        .when(
             F.col("__hi") > F.col("__lo"),
             F.least(
                 F.lit(n_buckets - 1),
@@ -171,7 +177,8 @@ def _range_bucketed(
                     / ((F.col("__hi") - F.col("__lo")) / n_buckets)
                 ).cast("int"),
             ),
-        ).otherwise(F.lit(0)),
+        )
+        .otherwise(F.lit(0)),
     ).drop("__lo", "__hi")
 
 

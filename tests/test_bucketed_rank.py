@@ -138,6 +138,92 @@ def test_partitioned_cumsum_matches_keyed_window(spark, df, inclusive):
     assert got == want
 
 
+def test_null_keys_rank_first_like_a_window(spark):
+    # ASC window order puts NULLS FIRST; the range bucketer must send
+    # null keys to a bucket that sorts before every non-null bucket
+    rows = [Row(v=None if i % 5 == 0 else float(i % 7), tb=i) for i in range(30)]
+    df = spark.createDataFrame(rows, "v double, tb long").repartition(4)
+    got = {
+        r["tb"]: r["rn"]
+        for r in bucketed_row_number(
+            df, "v", tiebreaks=("tb",), n_buckets=3, id_col="rn"
+        ).collect()
+    }
+    w = Window.orderBy("v", "tb")
+    want = {
+        r["tb"]: r["rn"]
+        for r in df.select("tb", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_fuzz_bucketed_rank_and_cumsum_match_windows(spark):
+    # hypothesis-style fuzz without per-example Spark jobs (too slow):
+    # a few seeded random datasets spanning duplicates, negatives,
+    # nulls, constant keys, and group skew
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(5, 120)
+        rows = [
+            Row(
+                v=None
+                if rng.random() < 0.08
+                else round(rng.uniform(-50, 50), 1),
+                tb=i,
+                g=rng.randint(0, 2),
+                c=rng.randint(1, 9),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "v double, tb long, g int, c int"
+        ).repartition(5)
+        nb = rng.choice([1, 2, 7, 1024])
+        got = {
+            (r["g"], r["tb"]): r["rn"]
+            for r in bucketed_row_number(
+                df,
+                "v",
+                tiebreaks=("tb",),
+                n_buckets=nb,
+                id_col="rn",
+                partition_by=("g",),
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "tb")
+        want = {
+            (r["g"], r["tb"]): r["rn"]
+            for r in df.select(
+                "g", "tb", F.row_number().over(w).alias("rn")
+            ).collect()
+        }
+        assert got == want, f"rank mismatch seed={seed} n_buckets={nb}"
+
+        by_v = df.where(F.col("v").isNotNull()).groupBy("g", "v").agg(
+            F.sum("c").alias("c")
+        )
+        got_c = {
+            (r["g"], r["v"]): r["cum_c"]
+            for r in bucketed_cumsum(
+                by_v, "v", ("c",), n_buckets=nb, partition_by=("g",)
+            ).collect()
+        }
+        wc = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want_c = {
+            (r["g"], r["v"]): r["cum_c"]
+            for r in by_v.select(
+                "g", "v", F.sum("c").over(wc).alias("cum_c")
+            ).collect()
+        }
+        assert got_c == want_c, f"cumsum mismatch seed={seed} n_buckets={nb}"
+
+
 def test_assign_contiguous_ids_zero_based_dense(spark, df):
     ids = sorted(
         r["row_id"]
