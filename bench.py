@@ -11,10 +11,13 @@ The full per-query timing map goes to BENCH_DETAIL.json next to this
 file (a 113-query dict made the stdout line so long the driver's tail
 window truncated its head and failed to parse it — round-1 lesson).
 The summary also diffs per-query times against BASELINE.md's table and
-lists any query slower than REGRESSION_RATIO x its baseline.  Flagged
-queries are rerun twice more and reported at their MEDIAN (runs kept
-in BENCH_DETAIL.json "reruns"), so a one-off GC/codegen spike cannot
-masquerade as a regression — round-4 methodology fix.
+lists any query slower than REGRESSION_RATIO x its baseline.  Every
+query above _MEDIAN_THRESHOLD_SEC — and every flagged query — is rerun
+twice more and reported at its MEDIAN (runs kept in BENCH_DETAIL.json
+"reruns"), with regressions computed on the medians, so neither a
+one-off GC/codegen spike nor ambient session drift (~8-15% measured,
+VERDICT r6) can masquerade as a regression — round-4 methodology fix,
+widened in round 7.
 
 Each query is fully materialized via the noop sink (count() can skip
 work; noop writes every row).  A warmup query amortizes JVM/codegen
@@ -35,6 +38,13 @@ REGRESSION_RATIO = 1.5
 #: sub-half-second deltas on this host are scheduler/GC noise, not
 #: regressions — single-run baselines vary ±20% at that scale
 _MIN_REGRESSION_ABS_SEC = 0.5
+
+#: Queries whose first-pass wall exceeds this get re-run twice and
+#: reported as the median of 3 (noise control, VERDICT r6 #6);
+#: override via SPARK_GRAFT_BENCH_MEDIAN_SEC (set huge to disable).
+_MEDIAN_THRESHOLD_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_SEC", "1.0")
+)
 
 #: Queries whose sf0.1 wall time is dominated by whole-stage-codegen
 #: COMPILATION, not execution, making their single-run numbers hostage
@@ -408,12 +418,22 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = run_once(name)
 
-    # A single-run flag can be a one-off GC/codegen spike (the round-3
-    # persist-churn debate started from exactly one snapshot): rerun
-    # every flagged query twice more and report the MEDIAN, so a
-    # listed regression is reproducible by construction.
+    # A single-run number can be a one-off GC/codegen spike (the
+    # round-3 persist-churn debate started from exactly one snapshot,
+    # and VERDICT r6 measured ~8% same-commit driver-vs-builder drift
+    # with ~15% session drift — enough to swamp real per-query changes
+    # under ~1.5×): report the MEDIAN of 3 for every query above
+    # _MEDIAN_THRESHOLD_SEC and for every flagged query, and compute
+    # regressions on those medians, so both a listed regression and a
+    # round-over-round comparison are reproducible by construction.
+    # Sub-threshold queries stay single-run — their absolute error is
+    # bounded by the threshold and the extra wall isn't worth it.
     reruns: dict[str, list[float]] = {}
-    for name in [n for n, t in timings.items() if is_flagged(n, t)]:
+    for name in [
+        n
+        for n, t in timings.items()
+        if t > _MEDIAN_THRESHOLD_SEC or is_flagged(n, t)
+    ]:
         samples = [timings[name], run_once(name), run_once(name)]
         reruns[name] = samples
         timings[name] = sorted(samples)[1]

@@ -1,0 +1,60 @@
+"""Canonical shared plan fragments for multi-query batches (SURVEY §7,
+round 7).
+
+Spark's ``CacheManager`` substitutes any persisted DataFrame's
+CANONICALIZED logical subtree into later queries — so cross-query reuse
+needs no plan rewriting, only that the queries build their hot
+intermediates through ONE shared helper (identical construction ⇒
+identical canonical plan ⇒ substitution fires).  Probe #7
+(tools/probe_batch_reuse.py, BASELINE.md) fixed the design point:
+
+- caching the bare ``documents`` scan is a measured NEGATIVE (0.89× —
+  a codegen parquet scan with pushdown beats the row cache), so no
+  fragment here is a bare table scan;
+- the recompute worth sharing is the EXPENSIVE fragments: the exploded
+  token stream and the per-document term rollup, re-derived today by
+  every token query (measured 1.36× from sharing the explode alone
+  across four consumers).
+
+Standalone behavior is unchanged by construction: when nothing is
+persisted, Catalyst prunes each consumer's unused fragment columns and
+pushes its filters through the fragment's aggregate keys, so each
+query's solo plan keeps its pre-refactor shape (pinned by
+tests/test_plans.py).  ``cid_etl_spark.plans.batch.run_batch`` persists
+the fragments with ≥2 uses for exactly the lifetime of their consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cid_etl_spark.functions.text import tokens
+from cid_etl_spark.sources.parquet import load_table
+
+
+def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical exploded token stream: one row per (document,
+    token occurrence), with the language tag carried (it is
+    functionally dependent on doc_id, so no consumer's grain changes
+    by selecting it away).  Every lexical query — vocabulary sweeps,
+    TF-IDF, BM25, CCNet scoring — starts here; in a batch this is the
+    single explode they all share."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+
+
+def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical per-document term-frequency rollup:
+    ``(doc_id, lang, tok) → n`` occurrences.  TF tables, document
+    frequencies, document lengths, corpus unigram frequencies, and
+    per-language vocabularies are all one further (much smaller)
+    aggregation away, so in a batch this rollup replaces each
+    consumer's own token-grain shuffle.  Exact integer counts, so any
+    re-aggregation (SUM of n) is bit-identical to counting the stream
+    directly."""
+    return (
+        token_stream(spark, sf_dir)
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

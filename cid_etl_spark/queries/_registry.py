@@ -224,46 +224,74 @@ _ROUND5_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Round-6 driver window, hash-verified 50/50 (CORRECTNESS_r06.json):
+#: the 14 late-r5 statistical backlog rows, the 3 staging-refactored
+#: streaming rows, the r6 scale-rewrite set, and 24 stale
+#: re-verifications.
+_ROUND6_VERIFIED: frozenset[str] = frozenset(
+    {
+        "anti_join_idle_customers", "array_functions_suite",
+        "asof_prior_purchase", "autocorrelation_daily_revenue",
+        "bpe_token_estimate", "ccnet_quality_buckets",
+        "chi_square_priority_status", "conditional_count_quality",
+        "cosine_topk_bruteforce", "count_distinct_per_nation",
+        "cube_lineitem_stats", "curriculum_phases", "date_functions_suite",
+        "dedup_exact_documents", "embedding_neardup_exact",
+        "except_nations", "from_json_typed_events",
+        "full_outer_order_events", "gini_by_region_orders",
+        "grouping_sets_orders", "hybrid_rrf_search",
+        "interarrival_burstiness_users", "intersect_nations",
+        "jaro_winkler_part_pairs", "join_chain_revenue",
+        "join_customer_orders", "json_extract_events",
+        "kaplan_meier_conversion", "ks_test_priority_orders",
+        "lag_order_gaps", "lang_id_documents", "lsh_recall_report",
+        "mann_whitney_priority_orders", "media_meta_stats",
+        "monthly_order_revenue", "ngram_jaccard_pairs",
+        "pack_sequences_documents", "pq_adc_topk",
+        "pretraining_data_pipeline", "rank_customers_in_segment",
+        "readability_documents", "rfm_segmentation_customers",
+        "runs_test_daily_revenue", "spearman_acctbal_spend",
+        "stream_click_attribution", "stream_hourly_events",
+        "stream_sessionized_users", "theil_sen_region_monthly",
+        "trend_slope_region_monthly", "weighted_median_lineitem",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
 _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
-    _ROUND4_VERIFIED, _ROUND5_VERIFIED,
+    _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
 )
 
-#: Round-6 driver window, most-valuable-first (VERDICT r5 asks #1/#2):
-#: (a) the 14 late-r5 statistical rows — the last never-driver-verified
-#: oracled queries (three of them — ks/mwu/spearman — additionally
-#: rewritten this round onto bucketed_cumsum, and kaplan_meier onto
-#: exact-microsecond bucketing); (b) the three streaming rows not
-#: re-driver-verified since the r5 staging refactor; (c) the queries
-#: whose RESULTS or plans changed this round (rfm → exact-ntile-on-
-#: bucketed-rank, hybrid_rrf → heap-cut-then-rank, ccnet → sorted
-#: accumulation per ADVICE r5, pq_adc → deterministic query truncation).
-#: The remaining ~29 slots fall through to the freshness rule in
+#: Round-7 driver window, most-valuable-first: the 19 queries whose
+#: PLANS changed this round — every consumer of the bucket-offset
+#: helpers after the equi-depth rewrite (``_range_bucketed`` edges now
+#: come from percentile_approx, VERDICT r6 #1; outputs are bit-
+#: identical by monotonicity, which these slots prove under the
+#: driver's own harness), the pretraining pipeline's adaptive
+#: pack-stage bucket count (VERDICT r6 #2), and the queries refactored
+#: onto the run_batch canonical fragments (VERDICT r6 #3).  The
+#: remaining ~31 slots fall through to the freshness rule in
 #: ``_ordered_names``: oldest-driver-green first (the r1 set, whose
-#: last driver check predates four rounds of refactors).
+#: last driver check predates five rounds of refactors).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) never-driver-verified statistical backlog (14)
-    "lsh_recall_report", "ks_test_priority_orders",
-    "trend_slope_region_monthly", "chi_square_priority_status",
-    "jaro_winkler_part_pairs", "kaplan_meier_conversion",
-    "weighted_median_lineitem", "readability_documents",
-    "interarrival_burstiness_users", "mann_whitney_priority_orders",
-    "autocorrelation_daily_revenue", "runs_test_daily_revenue",
-    "spearman_acctbal_spend", "theil_sen_region_monthly",
-    # (b) streaming rows sharing _stage_event_stream, refactored in r5
-    "stream_hourly_events", "stream_sessionized_users",
-    "stream_click_attribution",
-    # (c) changed this round (scale rewrites + ADVICE determinism fixes;
-    # the second batch is the low-cardinality-partition-window class —
-    # per-lang/region/segment/flag windows moved onto the partitioned
-    # bucket-offset helpers)
-    "rfm_segmentation_customers", "hybrid_rrf_search",
-    "ccnet_quality_buckets", "pq_adc_topk", "curriculum_phases",
-    "gini_by_region_orders", "rank_customers_in_segment",
-    "pack_sequences_documents", "pretraining_data_pipeline",
+    # equi-depth bucket family (plans changed, outputs must not)
+    "rfm_segmentation_customers", "ccnet_quality_buckets",
+    "curriculum_phases", "gini_by_region_orders",
+    "rank_customers_in_segment", "pack_sequences_documents",
+    "ks_test_priority_orders", "mann_whitney_priority_orders",
+    "spearman_acctbal_spend", "weighted_median_lineitem",
+    "contiguous_ids_documents",
+    # adaptive pack-stage bucket count (VERDICT r6 #2)
+    "pretraining_data_pipeline",
+    # run_batch canonical-fragment refactor (VERDICT r6 #3): these
+    # queries now derive their token streams / per-doc term rollups
+    # from plans/fragments.py — plans changed, outputs must not
+    "top_ngrams_per_lang", "tfidf_top_terms", "bm25_search_documents",
+    "hybrid_rrf_search", "vocab_encode_documents",
+    "unigram_logprob_score", "inverted_index_lookup",
 )
 
 

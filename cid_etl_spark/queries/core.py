@@ -883,7 +883,10 @@ def rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; the oracle keeps the plain dense_rank/ntile SQL, and the
     builtins themselves stay demonstrated in
     window_distribution_suite / window_value_functions."""
-    from cid_etl_spark.operators.aggregates import bucketed_row_number
+    from cid_etl_spark.operators.aggregates import (
+        bucketed_row_number,
+        exact_ntile,
+    )
 
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
@@ -901,18 +904,11 @@ def rank_customers_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="__r",
         partition_by=("c_mktsegment",),
     ).join(F.broadcast(seg_n), "c_mktsegment")
-    r, n = F.col("__r"), F.col("__n")
-    q = F.floor(n / 4)
-    rem = n - 4 * q
-    thr = rem * (q + 1)
-    quartile = F.when(r <= thr, F.ceil(r / (q + 1))).otherwise(
-        rem + F.ceil((r - thr) / F.greatest(q, F.lit(1)))
-    )
     return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        r.cast("int").alias("seg_rank"),
-        quartile.cast("int").alias("quartile"),
+        F.col("__r").cast("int").alias("seg_rank"),
+        exact_ntile(F.col("__r"), F.col("__n"), 4).alias("quartile"),
     )
 
 
@@ -1563,11 +1559,15 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-5 tokens per language —
     explode → two-level aggregation (map-side combine on (lang, tok))
     → per-group top-k window.  The everyday 'what's in this corpus'
-    sweep of a training-data pipeline."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "lang", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    sweep of a training-data pipeline.  The token stream comes from
+    the canonical shared fragment (plans/fragments.py) so a
+    ``run_batch`` with other lexical queries shares ONE explode;
+    standalone, Catalyst prunes doc_id and the plan is unchanged."""
+    from cid_etl_spark.plans.fragments import token_stream
+
+    toks = token_stream(spark, sf_dir).select("lang", "tok").filter(
+        F.col("tok") != ""
+    )
     counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
     return (

@@ -14,6 +14,7 @@ from cid_etl_spark.functions.text import tokens
 from cid_etl_spark.operators.aggregates import (
     bucketed_cumsum,
     bucketed_row_number,
+    exact_ntile,
 )
 from cid_etl_spark.sources.parquet import load_table
 
@@ -72,21 +73,9 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     total = base.agg(F.count(F.lit(1)).alias("__n"))
-    n = F.col("__n")
-    q = F.floor(n / 5)
-    rem = n - 5 * q
-    thr = rem * (q + 1)
 
     def ntile5(rank_col: str):
-        # exact ntile arithmetic on the global rank; ceil of exact
-        # integer ratios (doubles exact below 2^53), and the q=0
-        # branch (n < 5) always lands in the when-arm (thr = n ≥ r)
-        r = F.col(rank_col)
-        return (
-            F.when(r <= thr, F.ceil(r / (q + 1)))
-            .otherwise(rem + F.ceil((r - thr) / F.greatest(q, F.lit(1))))
-            .cast("int")
-        )
+        return exact_ntile(F.col(rank_col), F.col("__n"), 5)
 
     def quintile(key: str, out: str, bucket_value=None) -> DataFrame:
         return bucketed_row_number(
@@ -1398,19 +1387,22 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the token rollups; the per-doc lists hold DISTINCT doc terms
     (vocab-bounded), and the ntile sort runs on the doc-grain table,
     1000x smaller than the token stream."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim("text")) > 0
+    from cid_etl_spark.plans.fragments import doc_term_counts
+
+    # per-doc term rollup from the canonical shared fragment
+    # (plans/fragments.py; a run_batch with other lexical queries
+    # shares one explode+shuffle).  The corpus unigram table now
+    # re-aggregates THAT rollup instead of re-scanning the token
+    # stream — exact integer counts, so SUM(k) ≡ counting the stream.
+    # The old `WHERE length(trim(text)) > 0` pre-filter is implied:
+    # empty docs produce an empty token array, hence no rollup rows.
+    per_doc = doc_term_counts(spark, sf_dir).select(
+        "doc_id", "lang", F.col("tok").alias("token"), F.col("n").alias("k")
     )
-    tok = d.select(
-        "doc_id", "lang", F.explode(tokens("text")).alias("token")
-    )
-    freq = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    freq = per_doc.groupBy("token").agg(
+        F.sum("k").cast("bigint").alias("cnt")
     )
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
-    per_doc = tok.groupBy("doc_id", "lang", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k")
-    )
     collected = (
         per_doc.join(F.broadcast(freq), "token")
         .groupBy("doc_id", "lang")
@@ -1446,13 +1438,7 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="__r",
         partition_by=("lang",),
     ).join(F.broadcast(lang_n), "lang")
-    r, n = F.col("__r"), F.col("__n")
-    q = F.floor(n / 3)
-    rem = n - 3 * q
-    thr = rem * (q + 1)
-    tile = F.when(r <= thr, F.ceil(r / (q + 1))).otherwise(
-        rem + F.ceil((r - thr) / F.greatest(q, F.lit(1)))
-    )
+    tile = exact_ntile(F.col("__r"), F.col("__n"), 3)
     bucketed = ranked.select(
         "lang",
         F.round(F.col("xent") * 10000).cast("bigint").alias("xe4"),

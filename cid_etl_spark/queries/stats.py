@@ -544,11 +544,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast cross join.  Ranking rounds the score FIRST and
     tie-breaks on the term so row_number is deterministic in both
     engines."""
+    from cid_etl_spark.plans.fragments import doc_term_counts
+
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # per-doc term frequencies via the canonical shared rollup
+    # (plans/fragments.py): a run_batch with other lexical queries
+    # shares one explode+shuffle; standalone the plan is the same
+    # rollup with the (doc_id-dependent) lang key carried
+    tf = doc_term_counts(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term"), F.col("n").alias("tf")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))

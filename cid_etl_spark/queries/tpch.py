@@ -353,8 +353,11 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-token table (at 100 TB, bound that input with a min-count
     prefilter before ranking); the encode pass is a map-side broadcast
     join, so the corpus itself never reshuffles."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    from cid_etl_spark.plans.fragments import token_stream
+
+    tok = token_stream(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("token")
+    )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.orderBy(F.desc("__cnt"), "token")
     vocab = (
@@ -1021,8 +1024,11 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     prose low).  The frequency table is vocab-sized and broadcasts back
     over the token stream, the 1-row total rides the same broadcast, so
     scoring re-shuffles nothing but the final per-doc rollup."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    from cid_etl_spark.plans.fragments import token_stream
+
+    tok = token_stream(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("token")
+    )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
     return (
@@ -1193,8 +1199,11 @@ def inverted_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew hazard: cap or delta-encode them at write (df alone often
     suffices — see tfidf_top_terms), exactly like the hot-shingle
     handling in the Jaccard index."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    from cid_etl_spark.plans.fragments import token_stream
+
+    tok = token_stream(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term")
+    )
     postings = tok.groupBy("term").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df"),
         F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("posting"),
@@ -1243,21 +1252,25 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking layer over inverted_index_lookup.  Corpus statistics
     (N, avgdl) fold to ONE row and the per-term dfs to a query-sized
     table; both broadcast back over the tf table, so scoring re-joins
-    nothing fact-sized and the top-20 edge is a heap.  The tf table is
-    pre-filtered to the query terms BEFORE its shuffle — at 100 TB
-    that filter is the difference between shuffling three terms'
-    postings and the whole token stream."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    nothing fact-sized and the top-20 edge is a heap.  The per-doc
+    term rollup comes from the canonical shared fragment
+    (plans/fragments.py) so a run_batch with other lexical queries
+    shares one explode+shuffle; standalone, Catalyst still pushes the
+    query-term filter through the rollup's grouping key to the scan —
+    at 100 TB that filter is the difference between shuffling three
+    terms' postings and the whole token stream."""
+    from cid_etl_spark.plans.fragments import doc_term_counts
+
+    dtc = doc_term_counts(spark, sf_dir)
+    dl = dtc.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("len")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("len").alias("avgdl"),
     )
-    tf = (
-        tok.filter(F.col("term").isin("data", "query", "index"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
+        "doc_id", F.col("tok").alias("term"), F.col("n").cast("double").alias("tf")
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
@@ -1342,18 +1355,18 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     but a global single-partition sort of every document/embedding at
     100× (VERDICT r5 flag #5); the total order (score desc, doc_id)
     makes heap-cut-then-rank bit-identical to rank-then-filter."""
-    d = load_table(spark, sf_dir, "documents")
+    from cid_etl_spark.plans.fragments import doc_term_counts
+
     e = load_table(spark, sf_dir, "embeddings")
-    # lexical channel — same shape as bm25_search_documents
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    # lexical channel — same shape as bm25_search_documents, built on
+    # the same canonical shared rollup (plans/fragments.py)
+    dtc = doc_term_counts(spark, sf_dir)
+    dl = dtc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("len"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("len").alias("avgdl")
     )
-    tf = (
-        tok.filter(F.col("term").isin("data", "query", "index"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
+        "doc_id", F.col("tok").alias("term"), F.col("n").cast("double").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)

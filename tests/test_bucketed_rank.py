@@ -224,6 +224,120 @@ def test_fuzz_bucketed_rank_and_cumsum_match_windows(spark):
         assert got_c == want_c, f"cumsum mismatch seed={seed} n_buckets={nb}"
 
 
+def test_null_group_keys_form_their_own_group(spark):
+    # Window.partitionBy keeps NULL as its own partition; the helpers'
+    # rollup joins must be null-safe or those rows silently vanish
+    # (ADVICE r6, medium)
+    rows = [
+        Row(g=None if i % 4 == 0 else f"g{i % 3}", v=float(i % 7), tb=i, c=1)
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, tb long, c int")
+    df = df.repartition(5)
+    ranked = bucketed_row_number(
+        df, "v", tiebreaks=("tb",), n_buckets=4, id_col="rn",
+        partition_by=("g",),
+    )
+    assert ranked.count() == 36  # no rows dropped
+    got = {(r["g"], r["tb"]): r["rn"] for r in ranked.collect()}
+    w = Window.partitionBy("g").orderBy("v", "tb")
+    want = {
+        (r["g"], r["tb"]): r["rn"]
+        for r in df.select("g", "tb", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+    by_v = df.groupBy("g", "v").agg(F.sum("c").alias("c"))
+    cum = bucketed_cumsum(by_v, "v", ("c",), n_buckets=4, partition_by=("g",))
+    assert cum.count() == by_v.count()
+    got_c = {(r["g"], r["v"]): r["cum_c"] for r in cum.collect()}
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_c = {
+        (r["g"], r["v"]): r["cum_c"]
+        for r in by_v.select("g", "v", F.sum("c").over(wc).alias("cum_c")).collect()
+    }
+    assert got_c == want_c
+
+
+@pytest.mark.parametrize("dist", ["zipf", "lognormal"])
+def test_skewed_keys_stay_balanced_and_exact(spark, dist):
+    # VERDICT r6 #1: the old min/max equi-width edges collapsed under a
+    # heavy tail (lognormal outlier max → every row in one bucket).
+    # Equi-depth edges must (a) still rank exactly and (b) bound the
+    # largest bucket near rows/n_buckets + the hottest duplicate key.
+    import random
+
+    rng = random.Random(4242)
+    n = 4000
+    if dist == "zipf":
+        vals = [float(min(int(rng.paretovariate(0.5)), 10**6)) for _ in range(n)]
+    else:
+        vals = [rng.lognormvariate(0, 2.5) for _ in range(n)]
+        vals[0] = max(vals) * 1e6  # the outlier that kills equi-width
+    rows = [Row(v=vals[i], tb=i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v double, tb long").repartition(8)
+    nb = 64
+    from cid_etl_spark.operators.aggregates import _range_bucketed
+
+    counts = (
+        _range_bucketed(df, F.col("v"), nb)
+        .groupBy("__bucket")
+        .count()
+        .collect()
+    )
+    from collections import Counter
+
+    max_key_freq = max(Counter(vals).values())
+    max_bucket = max(r["count"] for r in counts)
+    # bound: ~2× the ideal depth, or the irreducible hottest key
+    assert max_bucket <= max(2 * (n // nb) + 1, max_key_freq), (
+        f"{dist}: max bucket {max_bucket} vs ideal {n // nb}, "
+        f"hottest key {max_key_freq}"
+    )
+    # exactness under the same skew
+    got = {
+        r["tb"]: r["rn"]
+        for r in bucketed_row_number(
+            df, "v", tiebreaks=("tb",), n_buckets=nb, id_col="rn"
+        ).collect()
+    }
+    w = Window.orderBy("v", "tb")
+    want = {
+        r["tb"]: r["rn"]
+        for r in df.select("tb", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_matches_builtin(spark):
+    # shared arithmetic extracted from rfm/ccnet/curriculum/rank_
+    # customers (ADVICE r6): must be bit-identical to F.ntile(k) on a
+    # total (tie-broken) order, across n % k == 0 and != 0 and n < k
+    from cid_etl_spark.operators.aggregates import exact_ntile
+
+    for n, k in ((40, 5), (37, 4), (3, 8), (16, 16), (1, 3)):
+        rows = [Row(v=float((i * 11) % 19), tb=i) for i in range(n)]
+        df = spark.createDataFrame(rows, "v double, tb long").repartition(3)
+        w = Window.orderBy("v", "tb")
+        total = df.agg(F.count(F.lit(1)).alias("__n"))
+        got = {
+            r["tb"]: r["nt"]
+            for r in df.select("tb", F.row_number().over(w).alias("__r"))
+            .join(F.broadcast(total))
+            .select("tb", exact_ntile(F.col("__r"), F.col("__n"), k).alias("nt"))
+            .collect()
+        }
+        want = {
+            r["tb"]: r["nt"]
+            for r in df.select("tb", F.ntile(k).over(w).alias("nt")).collect()
+        }
+        assert got == want, f"ntile mismatch n={n} k={k}"
+
+
 def test_assign_contiguous_ids_zero_based_dense(spark, df):
     ids = sorted(
         r["row_id"]

@@ -400,3 +400,136 @@ def test_no_unaudited_single_partition_or_lowcard_windows(spark):
         if lcw != lcw_expected:
             mismatches.append((name, f"lowcard windows {lcw} != audited {lcw_expected}"))
     assert not mismatches, mismatches
+
+
+# ---------------------------------------------------------------------------
+# Parser self-tests (ADVICE r6 #4): pin the plan-string detectors against
+# CANNED plan fragments, independent of live Spark tree formatting — a
+# Spark upgrade that changes toString() breaks these units, not silently
+# the audit sweep above.
+# ---------------------------------------------------------------------------
+
+_CANNED_SPW = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() windowspecdefinition(v#8 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#42], [v#8 ASC NULLS FIRST]
+   +- Sort [v#8 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=42]
+         +- Project [v#8]
+            +- FileScan parquet [v#8]"""
+
+_CANNED_BOUNDED = """AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(__n#60L) windowspecdefinition(__bucket#55 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS __offset#61L], [__bucket#55 ASC NULLS FIRST]
+   +- Sort [__bucket#55 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+         +- HashAggregate(keys=[__bucket#55], functions=[sum(__n#60L)])
+            +- FileScan parquet [v#8]"""
+
+_CANNED_BOUNDED_AQE = """AdaptiveSparkPlan isFinalPlan=true
++- Window [sum(__n#60L) windowspecdefinition(__bucket#55 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS __offset#61L], [__bucket#55 ASC NULLS FIRST]
+   +- Sort [__bucket#55 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+         +- ShuffleQueryStage 1
+            +- HashAggregate(keys=[__bucket#55], functions=[sum(__n#60L)])
+               +- FileScan parquet [v#8]"""
+
+_CANNED_LOWCARD = """Project [lang#4, tok#9]
++- Window [row_number() windowspecdefinition(lang#4, n#12L DESC NULLS LAST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rnk#77], [lang#4], [n#12L DESC NULLS LAST]
+   +- Sort [lang#4 ASC NULLS FIRST, n#12L DESC NULLS LAST], false, 0
+      +- Exchange hashpartitioning(lang#4, 32), ENSURE_REQUIREMENTS, [plan_id=9]
+         +- FileScan parquet [lang#4]"""
+
+_CANNED_LOWCARD_ALIASED = """Project [lang#4 AS language#88]
++- Window [row_number() windowspecdefinition(language#88, n#12L DESC NULLS LAST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rnk#77], [language#88], [n#12L DESC NULLS LAST]
+   +- Sort [language#88 ASC NULLS FIRST, n#12L DESC NULLS LAST], false, 0
+      +- Exchange hashpartitioning(language#88, 32), ENSURE_REQUIREMENTS, [plan_id=9]
+         +- Project [lang#4 AS language#88]
+            +- FileScan parquet [lang#4]"""
+
+_CANNED_BRACKETS_IN_FUNCS = """Project [doc_id#1L]
++- Window [first(array(1, 2)[0], false) windowspecdefinition(doc_id#1L, v#8 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS f#90, collect_list(v#8, 0, 0) windowspecdefinition(doc_id#1L, v#8 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS l#91], [doc_id#1L], [v#8 ASC NULLS FIRST]
+   +- Sort [doc_id#1L ASC NULLS FIRST, v#8 ASC NULLS FIRST], false, 0
+      +- Exchange hashpartitioning(doc_id#1L, 32), ENSURE_REQUIREMENTS, [plan_id=3]
+         +- FileScan parquet [doc_id#1L,v#8]"""
+
+_CANNED_GROUPLIMIT = """Window [row_number() windowspecdefinition(lang#4, n#12L DESC NULLS LAST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rnk#77], [lang#4], [n#12L DESC NULLS LAST]
++- WindowGroupLimit [lang#4], [n#12L DESC NULLS LAST], row_number(), 5, Final
+   +- Sort [lang#4 ASC NULLS FIRST, n#12L DESC NULLS LAST], false, 0
+      +- Exchange hashpartitioning(lang#4, 32), ENSURE_REQUIREMENTS, [plan_id=9]
+         +- WindowGroupLimit [lang#4], [n#12L DESC NULLS LAST], row_number(), 5, Partial
+            +- FileScan parquet [lang#4]"""
+
+
+def test_parser_single_partition_window_suspect():
+    from cid_etl_spark.plans.audit import single_partition_windows
+
+    assert single_partition_windows(_CANNED_SPW) == {
+        "bounded": 0,
+        "suspect": 1,
+    }
+
+
+def test_parser_bounded_feed_direct_and_through_aqe_wrappers():
+    from cid_etl_spark.plans.audit import single_partition_windows
+
+    assert single_partition_windows(_CANNED_BOUNDED) == {
+        "bounded": 1,
+        "suspect": 0,
+    }
+    # an AQE wrapper between the exchange and the rollup must not
+    # reclassify the sanctioned pattern as suspect (r7 structural fix)
+    assert single_partition_windows(_CANNED_BOUNDED_AQE) == {
+        "bounded": 1,
+        "suspect": 0,
+    }
+
+
+def test_parser_lowcard_window_direct_and_aliased():
+    from cid_etl_spark.plans.audit import lowcard_partition_windows
+
+    assert lowcard_partition_windows(_CANNED_LOWCARD) == 1
+    # an aliased low-card column must resolve through lineage (the
+    # dodge ADVICE r6 called out against the bare name list)
+    assert lowcard_partition_windows(_CANNED_LOWCARD_ALIASED) == 1
+
+
+def test_parser_brackets_in_function_list_do_not_missplit():
+    from cid_etl_spark.plans.audit import lowcard_partition_windows
+
+    # "], [" inside the window-function list (array literal subscript)
+    # must not shift the partition spec: doc_id is high-cardinality, so
+    # this window is NOT a low-card hit
+    assert lowcard_partition_windows(_CANNED_BRACKETS_IN_FUNCS) == 0
+
+
+def test_parser_windowgrouplimit_exempt():
+    from cid_etl_spark.plans.audit import lowcard_partition_windows
+
+    assert lowcard_partition_windows(_CANNED_GROUPLIMIT) == 0
+
+
+def test_parser_window_specs_bracket_groups():
+    from cid_etl_spark.plans.audit import _window_specs
+
+    line = (
+        "Window [first(array(1, 2)[0], false) windowspecdefinition(a#1, "
+        "b#2 ASC NULLS FIRST) AS f#3], [a#1], [b#2 ASC NULLS FIRST]"
+    )
+    specs = _window_specs(line)
+    assert specs == ("a#1", "b#2 ASC NULLS FIRST"), specs
+    # global window: two groups, single spec is the ORDER spec
+    line2 = "Window [row_number() AS rn#5], [v#8 ASC NULLS FIRST]"
+    assert _window_specs(line2) == ("v#8 ASC NULLS FIRST", None)
+
+
+def test_parser_alias_resolver_follows_chains_not_expressions():
+    from cid_etl_spark.plans.audit import _alias_resolver
+
+    plan = (
+        "Project [lang#4 AS language#88]\n"
+        "Project [language#88 AS lingua#99]\n"
+        "Project [substring(lang#4, 1, 2) AS l2#77]\n"
+    )
+    resolve = _alias_resolver(plan)
+    assert resolve("language", "88") == "lang"
+    assert resolve("lingua", "99") == "lang"  # chain of two renames
+    # derived expressions are NOT treated as renames
+    assert resolve("l2", "77") == "l2"
