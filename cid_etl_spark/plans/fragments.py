@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from cid_etl_spark.functions.text import tokens
 from cid_etl_spark.sources.parquet import load_table
 
+#: Materialization overrides set by ``plans.batch.run_batch`` (mode
+#: "materialize"): ``(fragment_name, sf_dir) → parquet path``.  When
+#: present, the builder returns a SCAN of the materialized fragment
+#: instead of its plan — consumers keep full codegen, column pruning,
+#: and predicate pushdown into the shared intermediate (the row cache
+#: loses all three; probe #7).  Empty outside a batch, so standalone
+#: plans are untouched.
+_OVERRIDES: dict[tuple[str, str], str] = {}
+
+
+def _materialized(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    path = _OVERRIDES.get((name, sf_dir))
+    return spark.read.parquet(path) if path else None
+
 
 def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical exploded token stream: one row per (document,
@@ -40,6 +56,9 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     by selecting it away).  Every lexical query — vocabulary sweeps,
     TF-IDF, BM25, CCNet scoring — starts here; in a batch this is the
     single explode they all share."""
+    m = _materialized(spark, sf_dir, "token_stream")
+    if m is not None:
+        return m
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
 
@@ -53,6 +72,9 @@ def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's own token-grain shuffle.  Exact integer counts, so any
     re-aggregation (SUM of n) is bit-identical to counting the stream
     directly."""
+    m = _materialized(spark, sf_dir, "doc_term_counts")
+    if m is not None:
+        return m
     return (
         token_stream(spark, sf_dir)
         .groupBy("doc_id", "lang", "tok")

@@ -57,10 +57,21 @@ def test_run_batch_matches_per_query_results(spark):
     jsc = spark.sparkContext._jsc.sc()
     pinned_before = jsc.getPersistentRDDs().size()
     want = {n: rows(queries[n](spark, SF)) for n in BATCH}
+    # default mode: parquet-materialized fragments + concurrent members
     got = run_batch(spark, SF, BATCH, action=rows)
     assert set(got) == set(want)
     for n in BATCH:
-        assert got[n] == want[n], f"batch result differs for {n}"
+        assert got[n] == want[n], f"materialize-batch result differs for {n}"
+    # the overrides were cleared: standalone plans rebuild normally
+    from cid_etl_spark.plans import fragments as fr
+
+    assert not fr._OVERRIDES
+    # cache mode, strictly serial
+    got_c = run_batch(
+        spark, SF, BATCH, action=rows, mode="cache", max_concurrency=1
+    )
+    for n in BATCH:
+        assert got_c[n] == want[n], f"cache-batch result differs for {n}"
     # the batch released its caches (nothing new pinned for the caller)
     assert jsc.getPersistentRDDs().size() == pinned_before
 

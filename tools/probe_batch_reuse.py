@@ -78,16 +78,25 @@ def main() -> int:
     cached = min(run_batch(), run_batch())
     docs.unpersist()
 
-    # round 7: the actual run_batch API — canonical fragments
-    # (token_stream / doc_term_counts) persisted for the batch
+    # round 7: the actual run_batch API ladder — canonical fragments
+    # (token_stream / doc_term_counts) shared via the row cache vs
+    # scratch-parquet materialization, serial vs concurrent members
     from cid_etl_spark.plans.batch import run_batch as rb
 
-    def run_api() -> float:
+    def run_api(**kw) -> float:
         t0 = time.perf_counter()
-        rb(spark, SF_DIR, list(BATCH))
+        rb(spark, SF_DIR, list(BATCH), **kw)
         return time.perf_counter() - t0
 
-    api = min(run_api(), run_api())
+    api_cache = min(
+        run_api(mode="cache", max_concurrency=1),
+        run_api(mode="cache", max_concurrency=1),
+    )
+    api_mat = min(
+        run_api(mode="materialize", max_concurrency=1),
+        run_api(mode="materialize", max_concurrency=1),
+    )
+    api_conc = min(run_api(), run_api())
 
     out = {
         "sf_dir": SF_DIR,
@@ -96,8 +105,10 @@ def main() -> int:
         "base_table_cached_sec": round(cached, 2),
         "speedup": round(base / cached, 2),
         "cache_substituted_into_plans": substituted,
-        "run_batch_sec": round(api, 2),
-        "run_batch_speedup": round(base / api, 2),
+        "run_batch_cache_sec": round(api_cache, 2),
+        "run_batch_materialize_sec": round(api_mat, 2),
+        "run_batch_concurrent_sec": round(api_conc, 2),
+        "run_batch_speedup": round(base / api_conc, 2),
     }
     print(json.dumps(out))
     spark.stop()
