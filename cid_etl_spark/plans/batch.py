@@ -210,6 +210,17 @@ def _run_materialized(
     import tempfile
 
     to_share = plan_fragments(names)
+    # overrides are process-global (the fragment builders read them):
+    # two concurrent materialize-mode batches over the SAME sf_dir
+    # would race on paths and cleanup, so refuse up front — callers
+    # wanting parallel batches should merge them into one `names` list
+    # (members already run concurrently inside a batch)
+    for f in to_share:
+        if (f, sf_dir) in _frag._OVERRIDES:
+            raise RuntimeError(
+                f"fragment {f!r} for {sf_dir!r} is already materialized "
+                "by another in-flight run_batch; merge the batches"
+            )
     scratch = tempfile.mkdtemp(prefix="cid_etl_batch_")
     try:
         # parents first: a child fragment's build reads the parent's
