@@ -59,6 +59,9 @@ WARM_FIRST = {
     # same interpreted-lambda bigram-explode family as bigram_lm_score:
     # timed runs span 1.4-6.8 s depending on janino/GC state (round 5)
     "pmi_bigrams_tokens",
+    # materializes fragments + compiles three member plans against the
+    # parquet overrides on first run (7.8 s first, 2.5-3.2 steady)
+    "run_batch_fragments_verified",
 }
 
 
@@ -354,6 +357,8 @@ HEADLINE = [
     "autocorrelation_daily_revenue",
     "runs_test_daily_revenue",
     "spearman_acctbal_spend",
+    # round 7: the run_batch surface's own driver row
+    "run_batch_fragments_verified",
 ]
 
 

@@ -292,6 +292,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "top_ngrams_per_lang", "tfidf_top_terms", "bm25_search_documents",
     "hybrid_rrf_search", "vocab_encode_documents",
     "unigram_logprob_score", "inverted_index_lookup",
+    # the run_batch surface's own driver row (the one sanctioned r7
+    # addition): batch execution certified row-identical to the
+    # members' oracles via cross-engine digests
+    "run_batch_fragments_verified",
 )
 
 

@@ -2709,3 +2709,79 @@ def spearman_acctbal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spearman_rho"),
     )
+
+
+def _batch_digest_member_sql(name: str, cols_expr: str) -> str:
+    from cid_etl_spark.queries._registry import _ORACLE
+
+    return (
+        f"SELECT '{name}' AS member, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(('0x'||substr(md5({cols_expr}),1,12))::BIGINT) AS BIGINT)"
+        f" AS digest FROM ({_ORACLE[name]}) t"
+    )
+
+
+#: Per-member canonical row expression: columns in sorted-name order,
+#: doubles via printf at their already-rounded precision (identical
+#: formatting in both engines for pre-rounded values), everything else
+#: cast to string — mirrored exactly by the Spark digest action below.
+_BATCH_MEMBER_CANON: dict[str, str] = {
+    "bm25_search_documents": (
+        "concat_ws('|', printf('%.4f', bm25), CAST(doc_id AS VARCHAR))"
+    ),
+    "top_ngrams_per_lang": (
+        "concat_ws('|', lang, CAST(n AS VARCHAR), CAST(rnk AS VARCHAR), tok)"
+    ),
+    "inverted_index_lookup": (
+        "concat_ws('|', CAST(df AS VARCHAR), posting, term)"
+    ),
+}
+
+
+@_register(
+    "run_batch_fragments_verified",
+    " UNION ALL ".join(
+        _batch_digest_member_sql(_n, _e) for _n, _e in _BATCH_MEMBER_CANON.items()
+    ),
+)
+def run_batch_fragments_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green evidence for the r7 ``run_batch`` surface itself
+    (plans/batch.py): execute a three-member batch THROUGH the batch
+    API — canonical fragments materialized to scratch parquet, members
+    run concurrently, overrides cleared afterwards — and emit one
+    (member, n_rows, digest) row per member, where the digest is an
+    order-insensitive SUM of 48-bit md5 prefixes over each member's
+    canonicalized rows.  The oracle recomputes the same digests from
+    the members' own registered oracle SQL, so a hash match certifies
+    end-to-end that batch execution is row-identical to the per-query
+    oracles — reuse must be invisible to results.  48-bit prefixes keep
+    the BIGINT sum far from ANSI overflow (≤ 25 rows/member); doubles
+    are pre-rounded 4dp, so %.4f formatting is tie-free and identical
+    across engines (r3 media-oracle precedent)."""
+    from cid_etl_spark.plans.batch import run_batch
+
+    members = list(_BATCH_MEMBER_CANON)
+
+    def digest(df: DataFrame) -> tuple[int, int]:
+        parts = []
+        for c in sorted(df.columns):
+            dt = df.schema[c].dataType.simpleString()
+            parts.append(
+                F.format_string("%.4f", F.col(c))
+                if dt == "double"
+                else F.col(c).cast("string")
+            )
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10
+        ).cast("bigint")
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(h).cast("bigint").alias("d"),
+        ).collect()[0]
+        return (r["n"], r["d"])
+
+    res = run_batch(spark, sf_dir, members, action=digest)
+    return spark.createDataFrame(
+        [(m, int(res[m][0]), int(res[m][1])) for m in members],
+        "member string, n_rows bigint, digest bigint",
+    )
