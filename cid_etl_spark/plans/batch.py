@@ -119,15 +119,17 @@ def run_batch(
       unpersisting each fragment at its last consumer.  Kept for
       memory-resident batches; measured ~neutral at sf0.1.
 
-    Members additionally run CONCURRENTLY (*max_concurrency* threads,
-    order-preserving result dict): independent queries interleave
-    their stages, so single-task stages (1-row rollups, driver-side
-    heap merges) of one query fill cores another query leaves idle —
-    the multi-query-scheduler half of the batch story.  Set
-    ``max_concurrency=1`` for strictly serial execution.  Results are
-    row-identical to per-query runs either way (caching/materializing
-    never changes values; queries are independent); pinned by
-    tests/test_batch.py.
+    In materialize mode members additionally run CONCURRENTLY
+    (*max_concurrency* threads, order-preserving result dict):
+    independent queries interleave their stages, so single-task stages
+    (1-row rollups, driver-side heap merges) of one query fill cores
+    another query leaves idle — the multi-query-scheduler half of the
+    batch story.  Set ``max_concurrency=1`` for strictly serial
+    execution.  Cache mode is always serial: its unpersist-at-last-
+    consumer accounting needs the member order.  Results are
+    row-identical to per-query runs in every mode
+    (caching/materializing never changes values; queries are
+    independent); pinned by tests/test_batch.py.
     """
     if action is None:
         def action(df: DataFrame) -> None:  # noqa: F811
