@@ -107,6 +107,7 @@ def cosine_topk_lsh(
     query_vec_col: str = "query_vec",
     multiprobe: int = 0,
     round_digits: int | None = None,
+    signed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket (plus, with
     *multiprobe* = h > 0, every bucket within Hamming distance h of
@@ -132,9 +133,15 @@ def cosine_topk_lsh(
             "enumeration is O(2^bits) driver-side; use <=16 bits or "
             "band multiple independent signatures instead"
         )
-    signed_corpus = corpus.withColumn(
-        "__bucket", random_hyperplane_signature(vec_col, dim, bits, seed)
-    )
+    # *signed_corpus* lets callers inject a pre-signed corpus — the
+    # canonical plans.fragments.signed_embeddings fragment, shared
+    # across the probe and full-probe queries in a batch.  It must
+    # carry ``__bucket`` from the SAME (dim, bits, seed) signature;
+    # query-side signing below always recomputes from the parameters.
+    if signed_corpus is None:
+        signed_corpus = corpus.withColumn(
+            "__bucket", random_hyperplane_signature(vec_col, dim, bits, seed)
+        )
     # probe masks: all signature perturbations within hamming<=h,
     # enumerated once at the driver (sum C(bits,i) ints, tiny at <=16 bits)
     masks = [m for m in range(1 << bits) if bin(m).count("1") <= multiprobe]

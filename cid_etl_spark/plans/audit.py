@@ -56,10 +56,18 @@ _EXCHANGE_SP = "Exchange SinglePartition"
 #: range bucket column our helpers generate (bounded by n_buckets).
 _BOUNDED_FEED_RE = re.compile(r"HashAggregate\(keys=\[(?:[^\]]*,\s*)?__bucket")
 #: Wrapper nodes that may sit between an exchange and its real input
-#: without changing what feeds it.
+#: without changing what feeds it.  Benign row-level unary operators
+#: (Project/Filter and codegen wrappers) are included (ADVICE r7 #4):
+#: a Project between the exchange and the ``__bucket`` rollup cannot
+#: change the feed's bounded cardinality, and stopping at it
+#: reclassified the sanctioned pattern as suspect after innocuous plan
+#: changes.  The walk still DECIDES only at an aggregate (bounded) or
+#: any non-listed node (suspect) — joins, generators, unions, scans
+#: all fail through to suspect, preserving fail-safe behavior.
 _PASSTHROUGH_RE = re.compile(
     r"\b(AQEShuffleRead|ShuffleQueryStage|ReusedExchange|InputAdapter|"
-    r"TableCacheQueryStage|ResultQueryStage|InMemoryRelation)\b"
+    r"TableCacheQueryStage|ResultQueryStage|InMemoryRelation|"
+    r"Project|Filter|ColumnarToRow|WholeStageCodegen)\b"
 )
 
 _ART_PREFIX_RE = re.compile(r"^[\s:+|-]*")
@@ -115,18 +123,30 @@ def single_partition_windows(plan: str) -> dict[str, int]:
     return {"bounded": bounded, "suspect": suspect}
 
 
-#: Columns whose domain is bounded by a handful of values in the
-#: fixture star schema (and in any TPC-H-shaped warehouse): a window
+#: Plan-local DERIVED aliases with a handful-of-values domain —
+#: window/bucket labels, split names, region renames — which cannot be
+#: measured from fixture schemas because they only exist inside query
+#: plans.  The FIXTURE-column portion of the low-cardinality list is
+#: no longer hand-maintained: it is generated by
+#: ``tools/fixture_cardinality.py`` from measured distinct counts
+#: (≤ 100 at BOTH sf0.01 and sf0.1 — requiring both scales rejects
+#: columns whose cardinality merely grows slowly with volume), VERDICT
+#: r7 #7.
+_DERIVED_LOWCARD_ALIASES: frozenset[str] = frozenset(
+    {"region", "flag", "split", "segment", "bucket", "phase", "grp", "p", "s"}
+)
+
+from cid_etl_spark.plans.fixture_cardinality import (  # noqa: E402
+    FIXTURE_LOWCARD_COLS,
+)
+
+#: Columns whose domain is bounded by a handful of values: a window
 #: partitioned ONLY by these keys runs one task per value, so its
 #: per-task input is fact-volume / |values| — the same scale killer as
-#: a single-partition window, divided by five (round-6 audit class).
-LOW_CARDINALITY_COLS: frozenset[str] = frozenset(
-    {
-        "lang", "source", "region", "r_name", "n_name", "c_mktsegment",
-        "event_type", "flag", "split", "o_orderpriority", "o_orderstatus",
-        "l_returnflag", "l_linestatus", "segment", "bucket", "phase",
-        "grp", "p", "s",
-    }
+#: a single-partition window, divided by |values| (round-6 audit
+#: class).  Measured fixture columns ∪ derived plan aliases.
+LOW_CARDINALITY_COLS: frozenset[str] = (
+    FIXTURE_LOWCARD_COLS | _DERIVED_LOWCARD_ALIASES
 )
 
 _WINDOW_NODE_RE = re.compile(r"\bWindow \[")

@@ -1,5 +1,5 @@
 """Canonical shared plan fragments for multi-query batches (SURVEY §7,
-round 7).
+rounds 7-8).
 
 Spark's ``CacheManager`` substitutes any persisted DataFrame's
 CANONICALIZED logical subtree into later queries — so cross-query reuse
@@ -22,9 +22,26 @@ pushes its filters through the fragment's aggregate keys, so each
 query's solo plan keeps its pre-refactor shape (pinned by
 tests/test_plans.py).  ``cid_etl_spark.plans.batch.run_batch`` persists
 the fragments with ≥2 uses for exactly the lifetime of their consumers.
+
+Batch context (round 8, ADVICE r7 #1/#3): materialize-mode overrides
+used to live in a process-global dict, which (a) leaked scratch-parquet
+plans into standalone queries built concurrently with a batch and (b)
+made the overlapping-batch guard a non-atomic check-then-set.  They now
+live in a :class:`BatchContext` installed per-THREAD by ``run_batch``
+(the batch's own worker threads and nothing else see it), so standalone
+plans are untouched by in-flight batches and two concurrent batches are
+isolated by construction — each materializes into its own scratch dir.
+The context also memoizes DERIVED rollups (:func:`shared_scan`): plan
+subtrees like the bucket helpers' percentile edge rollup materialize
+once per canonical plan and every consumer branch scans the copy.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,20 +49,131 @@ from pyspark.sql import functions as F
 from cid_etl_spark.functions.text import tokens
 from cid_etl_spark.sources.parquet import load_table
 
-#: Materialization overrides set by ``plans.batch.run_batch`` (mode
-#: "materialize"): ``(fragment_name, sf_dir) → parquet path``.  When
-#: present, the builder returns a SCAN of the materialized fragment
-#: instead of its plan — consumers keep full codegen, column pruning,
-#: and predicate pushdown into the shared intermediate (the row cache
-#: loses all three; probe #7).  Empty outside a batch, so standalone
-#: plans are untouched.
-_OVERRIDES: dict[tuple[str, str], str] = {}
+
+class BatchContext:
+    """Materialization state for one in-flight ``run_batch`` call:
+    the scratch dir, the pre-materialized fragment paths, and a
+    memo of derived rollups written on demand by :func:`shared_scan`.
+    Thread-safe: members run concurrently and may race to derive the
+    same rollup; a per-key event makes the first builder write while
+    the rest wait for the path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        scratch: str,
+        derived_enabled: bool = True,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.scratch = scratch
+        #: Whether :func:`shared_scan` may materialize DERIVED rollups.
+        #: run_batch disables it for strictly-serial batches: an eager
+        #: rollup write serializes work that the lazy plan overlaps
+        #: inside one job (bucket-family ladder: serial materialize
+        #: 23.7 s vs 17.3 s sequential, while CONCURRENT materialize
+        #: wins at 8.8 s — the write only pays when other members fill
+        #: the cores it briefly leaves idle).
+        self.derived_enabled = derived_enabled
+        #: fragment name → parquet path (set by run_batch up front).
+        self.fragment_paths: dict[str, str] = {}
+        self._derived: dict[str, str] = {}
+        self._inflight: dict[str, threading.Event] = {}
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    def derived_path(self, key: str, build) -> str:
+        """Return the scratch-parquet path for the derived plan *key*,
+        materializing it via *build(path)* exactly once across all
+        batch threads (double-checked: losers of the insert race wait
+        on the winner's event)."""
+        with self._lock:
+            if key in self._derived:
+                return self._derived[key]
+            ev = self._inflight.get(key)
+            if ev is None:
+                ev = self._inflight[key] = threading.Event()
+                self._seq += 1
+                name = f"derived_{self._seq}_{hashlib.sha1(key.encode()).hexdigest()[:12]}"
+                path = os.path.join(self.scratch, name)
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            ev.wait()
+            with self._lock:
+                return self._derived[key]
+        try:
+            build(path)
+            with self._lock:
+                self._derived[key] = path
+        finally:
+            ev.set()
+            with self._lock:
+                self._inflight.pop(key, None)
+        return path
+
+
+_TLS = threading.local()
+
+
+def current_context() -> BatchContext | None:
+    """The batch context installed on THIS thread, or None (every
+    standalone query, and any thread a batch did not spawn)."""
+    return getattr(_TLS, "ctx", None)
+
+
+@contextmanager
+def batch_context(ctx: BatchContext | None):
+    """Install *ctx* for the duration of the block on the current
+    thread.  ``run_batch`` wraps both its fragment-materialization
+    phase and each member's build+run in this."""
+    prev = getattr(_TLS, "ctx", None)
+    _TLS.ctx = ctx
+    try:
+        yield
+    finally:
+        _TLS.ctx = prev
+
+
+def _canonical_key(df: DataFrame) -> str:
+    """A collision-free identity for a plan: the CANONICALIZED analyzed
+    tree string (expression ids normalized, so two builds of the same
+    helper rollup key identically; scan paths are embedded, so the
+    same rollup over different sf_dirs keys differently)."""
+    return df._jdf.queryExecution().analyzed().canonicalized().toString()
+
+
+def shared_scan(df: DataFrame, kind: str) -> DataFrame | None:
+    """Batch-shared materialization hook for derived rollups (VERDICT
+    r7 #1): when a materialize-mode batch context is active on this
+    thread, write *df* ONCE per canonical plan to the batch scratch
+    and return a parquet SCAN of the copy; otherwise return None and
+    the caller keeps its lazy plan.  Values are identical either way —
+    the scan reads exactly what the plan computes — so this is
+    plan-shape-only, like the fragment overrides.  *kind* is a debug
+    label only."""
+    ctx = current_context()
+    if ctx is None or not ctx.derived_enabled:
+        return None
+    key = f"{kind}\n{_canonical_key(df)}"
+    path = ctx.derived_path(
+        key, lambda p: df.write.mode("overwrite").parquet(p)
+    )
+    return ctx.spark.read.parquet(path)
 
 
 def _materialized(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame | None:
-    path = _OVERRIDES.get((name, sf_dir))
+    """The batch's pre-materialized copy of fragment *name*, when a
+    context for this *sf_dir* is active on the current thread (probe
+    #7: a pruned codegen scan of the copy beats the row cache)."""
+    ctx = current_context()
+    if ctx is None or ctx.sf_dir != sf_dir:
+        return None
+    path = ctx.fragment_paths.get(name)
     return spark.read.parquet(path) if path else None
 
 
@@ -61,6 +189,66 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return m
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+
+
+def user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical per-user ordered event sequence (round 8, VERDICT
+    r7 #3): one user-shuffle window pass over ``events`` ordered by
+    ``(ts, event_id)`` carrying BOTH sequence neighbors — ``prev_ts``
+    (lag, feeds sessionization gap tests) and ``next_type`` (lead,
+    feeds transition matrices).  The user_id exchange + per-user sort
+    is the dominant cost every sequence query pays; in a batch it runs
+    once here.  Both neighbor columns ride the SAME window spec, so
+    the pass costs one sort regardless of how many consumers want
+    which column; standalone, Catalyst prunes the unused window
+    expression from each consumer's solo plan.
+
+    Ordering note: consumers whose oracle orders by ``ts`` alone
+    (sessionize_events) are safe on this (ts, event_id) order — within
+    equal-ts ties ``prev_ts`` differs only between rows whose gap is
+    then 0, which no 30-minute threshold can split, so session islands
+    and their (min ts, count) aggregates are identical."""
+    from pyspark.sql.window import Window
+
+    m = _materialized(spark, sf_dir, "user_event_seq")
+    if m is not None:
+        return m
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical hyperplane-LSH-signed embedding corpus: every
+    vector tagged with its 4-bit sign-of-projection bucket
+    (``operators.similarity.random_hyperplane_signature``, dim=64,
+    seed=42) — the signature the ANN probe path and its full-probe
+    oracle twin both compute.  Signing is 4 dim-64 dot products per
+    row as SQL array expressions, the expensive half of the LSH scan;
+    in a batch the corpus signs once.  The NORMALIZED-matrix fragment
+    the round-7 verdict floated was rejected on purpose: rewriting
+    cosine as dot-of-unit-vectors changes float rounding against the
+    DuckDB oracles' ``list_cosine_similarity``, while the signature
+    is reused bit-identically as-is."""
+    from cid_etl_spark.operators.similarity import (
+        random_hyperplane_signature,
+    )
+
+    m = _materialized(spark, sf_dir, "signed_embeddings")
+    if m is not None:
+        return m
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.withColumn(
+        "__bucket",
+        random_hyperplane_signature("embedding", dim=64, bits=4, seed=42),
+    )
 
 
 def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

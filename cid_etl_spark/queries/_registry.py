@@ -257,44 +257,71 @@ _ROUND6_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Round-7 driver window, hash-verified 50/50 (CORRECTNESS_r07.json):
+#: the 19 equi-depth/fragment plan-change re-verifications, the new
+#: run_batch digest row, and 30 stalest-first rotations.
+_ROUND7_VERIFIED: frozenset[str] = frozenset(
+    {
+        "approx_distinct_users", "approx_percentile_lineitem",
+        "bloom_semi_join_lineitem", "bm25_search_documents",
+        "bpe_pair_counts", "ccnet_quality_buckets", "cid_pipeline_golden",
+        "contiguous_ids_documents", "corpus_curation_pipeline",
+        "corpus_mixture_sample", "cosine_topk_ivf_fullprobe",
+        "cosine_topk_lsh_probeall", "csv_dialect_latin1_scan",
+        "csv_sink_roundtrip", "curriculum_phases", "dau_rolling_events",
+        "decontaminate_documents", "dedup_clusters_documents",
+        "gini_by_region_orders", "hybrid_rrf_search",
+        "inverted_index_lookup", "ks_test_priority_orders",
+        "mann_whitney_priority_orders", "pack_sequences_documents",
+        "pivot_status_by_priority", "pretraining_data_pipeline",
+        "pricing_summary", "priority_dedup_orders",
+        "quality_score_documents", "range_join_acctbal_bands",
+        "rank_customers_in_segment", "rfm_segmentation_customers",
+        "rollup_order_counts", "run_batch_fragments_verified",
+        "scalar_string_suite", "scan_project_filter",
+        "semi_join_active_suppliers", "sessionize_events",
+        "spearman_acctbal_spend", "text_token_stats", "tfidf_top_terms",
+        "top_k_orders", "top_ngrams_per_lang", "unigram_logprob_score",
+        "union_priority_dedup", "vocab_encode_documents",
+        "weighted_median_lineitem", "window_hourly_events",
+        "window_running_revenue", "window_topk_orders_per_customer",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
 _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
+    _ROUND7_VERIFIED,
 )
 
-#: Round-7 driver window, most-valuable-first: the 19 queries whose
-#: PLANS changed this round — every consumer of the bucket-offset
-#: helpers after the equi-depth rewrite (``_range_bucketed`` edges now
-#: come from percentile_approx, VERDICT r6 #1; outputs are bit-
-#: identical by monotonicity, which these slots prove under the
-#: driver's own harness), the pretraining pipeline's adaptive
-#: pack-stage bucket count (VERDICT r6 #2), and the queries refactored
-#: onto the run_batch canonical fragments (VERDICT r6 #3).  The
-#: remaining ~31 slots fall through to the freshness rule in
-#: ``_ordered_names``: oldest-driver-green first (the r1 set, whose
-#: last driver check predates five rounds of refactors).
+#: Round-8 driver window, most-valuable-first: the queries whose PLANS
+#: changed this round — every bucket-helper consumer again (adaptive
+#: ``n_buckets`` resolves the single-level tier at driver scale,
+#: VERDICT r7 #1; outputs bit-identical by the monotone-bucket
+#: argument, which these slots prove under the driver's own harness),
+#: the queries refactored onto the NEW canonical fragments
+#: (user_event_seq / signed_embeddings / the derivation-caught
+#: oov_rate token_stream routing, VERDICT r7 #2-#3), and the batch
+#: digest row after its NULL-double canonicalization fix (ADVICE r7
+#: #2).  The remaining ~32 slots fall through to the freshness rule in
+#: ``_ordered_names``: oldest-driver-green first, which clears the
+#: entire r2-latest tail (28 rows) this round (VERDICT r7 #4).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # equi-depth bucket family (plans changed, outputs must not)
+    # adaptive-bucket family (plans changed, outputs must not)
     "rfm_segmentation_customers", "ccnet_quality_buckets",
     "curriculum_phases", "gini_by_region_orders",
     "rank_customers_in_segment", "pack_sequences_documents",
     "ks_test_priority_orders", "mann_whitney_priority_orders",
     "spearman_acctbal_spend", "weighted_median_lineitem",
-    "contiguous_ids_documents",
-    # adaptive pack-stage bucket count (VERDICT r6 #2)
-    "pretraining_data_pipeline",
-    # run_batch canonical-fragment refactor (VERDICT r6 #3): these
-    # queries now derive their token streams / per-doc term rollups
-    # from plans/fragments.py — plans changed, outputs must not
-    "top_ngrams_per_lang", "tfidf_top_terms", "bm25_search_documents",
-    "hybrid_rrf_search", "vocab_encode_documents",
-    "unigram_logprob_score", "inverted_index_lookup",
-    # the run_batch surface's own driver row (the one sanctioned r7
-    # addition): batch execution certified row-identical to the
-    # members' oracles via cross-engine digests
+    "contiguous_ids_documents", "pretraining_data_pipeline",
+    # r8 fragment refactors (user_event_seq / signed_embeddings /
+    # token_stream routing): plans changed, outputs must not
+    "sessionize_events", "top_session_paths", "event_transition_matrix",
+    "cosine_topk_lsh_probeall", "oov_rate_by_split",
+    # batch digest row after the NULL-double canonicalization fix
     "run_batch_fragments_verified",
 )
 

@@ -1056,19 +1056,42 @@ def from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-min inactivity gap) in batch — the same
-    F.session_window the streaming path uses; the oracle is the
-    classic gaps-and-islands SQL."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-        )
+    """Session windows (30-min inactivity gap) in batch, as
+    gaps-and-islands over the canonical ``user_event_seq`` fragment
+    (r8) — exactly the oracle's own formulation: a session breaks
+    where the gap from the previous event is ≥ 30 minutes, sessions
+    number by a running sum of breaks, and each (user, session) rolls
+    up to (first ts, count).  Value-identical to the prior
+    ``F.session_window`` form (same ≥-gap split rule; within equal-ts
+    ties the gap is 0, which no threshold splits, so the (ts,
+    event_id) fragment order changes nothing) — but in a batch the
+    user-shuffle sequence pass is shared with every other sequence
+    consumer, which session_window's dedicated aggregation node could
+    never be.  The streaming path still exercises session_window
+    itself (stream_sessionized_users)."""
+    from cid_etl_spark.plans.fragments import user_event_seq
+
+    seq = user_event_seq(spark, sf_dir)
+    gap_micros = F.unix_micros(
+        F.col("ts").cast("timestamp_ltz")
+    ) - F.unix_micros(F.col("prev_ts").cast("timestamp_ltz"))
+    new_sess = F.when(
+        F.col("prev_ts").isNull() | (gap_micros >= 1_800_000_000), 1
+    ).otherwise(0)
+    numbered = seq.select(
+        "user_id", "ts", "event_id", new_sess.alias("__new")
+    ).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start", "n_events")
 
 
 # ---------------------------------------------------------------------------
@@ -1210,12 +1233,18 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside cosine_topk_bruteforce.  Rows-only: approximate by design;
     recall vs. brute force is asserted in tests/test_similarity.py."""
     from cid_etl_spark.operators.similarity import cosine_topk_lsh
+    from cid_etl_spark.plans.fragments import signed_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return cosine_topk_lsh(emb, queries, dim=64, k=3, bits=4)
+    # corpus signing through the canonical fragment (r8): identical
+    # plan standalone, signed once when batched with the probeall twin
+    return cosine_topk_lsh(
+        emb, queries, dim=64, k=3, bits=4,
+        signed_corpus=signed_embeddings(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

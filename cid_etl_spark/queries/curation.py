@@ -443,13 +443,18 @@ def oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     it anyway, at large scale it falls back to a hash join on the
     16-byte token key).  The wide shuffles are the vocab distinct and
     the final per-language rollup."""
+    from cid_etl_spark.plans.fragments import token_stream
+
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     split = F.when(
         h >= "3333333333333333333333333333333333", "train"
     ).otherwise("eval")
     sp = d.select("doc_id", split.alias("split"))
-    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+    # the explode comes from the canonical token_stream fragment (r8:
+    # the mechanical QUERY_FRAGMENTS derivation caught this query
+    # re-deriving it inline — the exact reuse-by-omission it exists for)
+    tok = token_stream(spark, sf_dir).withColumnRenamed("tok", "token")
     vocab = (
         tok.join(sp, "doc_id")
         .filter(F.col("split") == "train")
@@ -1309,9 +1314,10 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject heap, so the plan holds on a 100 TB event
     log where per-user state would not.  Path strings make funnel
     anomalies legible ('view>view>purchase' vs 'error>error>error')."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
+    from cid_etl_spark.plans.fragments import user_event_seq
+
+    seq = user_event_seq(spark, sf_dir)
+    prev_ts = F.col("prev_ts")
     new_sess = F.when(
         prev_ts.isNull()
         | (
@@ -1321,7 +1327,7 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     ).otherwise(0)
-    sess = e.select(
+    sess = seq.select(
         "user_id", "ts", "event_id", "event_type", new_sess.alias("__new")
     ).withColumn(
         "sess_id",

@@ -2766,11 +2766,19 @@ def run_batch_fragments_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = []
         for c in sorted(df.columns):
             dt = df.schema[c].dataType.simpleString()
-            parts.append(
-                F.format_string("%.4f", F.col(c))
-                if dt == "double"
-                else F.col(c).cast("string")
-            )
+            if dt == "double":
+                # NULL-safe: Spark's format_string renders a NULL
+                # double as the literal 'null' while DuckDB's printf
+                # yields SQL NULL (which concat_ws drops) — emit NULL
+                # here too so both engines canonicalize a NULL double
+                # identically (ADVICE r7 #2)
+                parts.append(
+                    F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                        F.format_string("%.4f", F.col(c))
+                    )
+                )
+            else:
+                parts.append(F.col(c).cast("string"))
         h = F.conv(
             F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10
         ).cast("bigint")

@@ -531,13 +531,17 @@ def cosine_topk_lsh_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays rows-only since its recall is approximate by design; this row
     plus the recall unit tests bound it from both sides."""
     from cid_etl_spark.operators.similarity import cosine_topk_lsh
+    from cid_etl_spark.plans.fragments import signed_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # corpus signing through the canonical fragment (r8): identical
+    # plan standalone, signed once when batched with the pruned twin
     return cosine_topk_lsh(
-        emb, queries, dim=64, k=3, bits=4, multiprobe=4, round_digits=4
+        emb, queries, dim=64, k=3, bits=4, multiprobe=4, round_digits=4,
+        signed_corpus=signed_embeddings(spark, sf_dir),
     )
 
 

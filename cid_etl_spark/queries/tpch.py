@@ -810,11 +810,14 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input to Markov attribution and funnel-drop diagnosis.  One
     shuffle on user_id serves the ordering window, and the 25-cell
     rollup partial-aggregates map-side; ties in ts break on the unique
-    event_id so the sequence is engine-independent."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
+    event_id so the sequence is engine-independent.  The sequence pass
+    comes from the canonical ``user_event_seq`` fragment (r8): solo,
+    Catalyst prunes the fragment's unused lag column; in a batch the
+    user-shuffle window runs once for every sequence consumer."""
+    from cid_etl_spark.plans.fragments import user_event_seq
+
+    seq = user_event_seq(spark, sf_dir).select(
+        "event_type", "next_type"
     ).filter(F.col("next_type").isNotNull())
     return seq.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
@@ -1612,7 +1615,9 @@ def contiguous_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cid_etl_spark.operators.aggregates import assign_contiguous_ids
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = assign_contiguous_ids(d, "doc_id", n_buckets=64)
+    # n_buckets resolves adaptively from the plan-size estimate (r8);
+    # ids are bit-identical for any bucket count by monotonicity
+    out = assign_contiguous_ids(d, "doc_id")
     return out.select("doc_id", F.col("row_id").cast("bigint"))
 
 

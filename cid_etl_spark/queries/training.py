@@ -1298,15 +1298,14 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exclusive per-lang prefix sum via the partitioned bucket-offset
     # form: the plain Window.partitionBy("lang") prefix sum is one
     # fact-sized sort task per language at scale (r6 plan-audit class);
-    # doc_id is unique, so the bucketed form is bit-identical.
-    # n_buckets=32, not the 1024 default: this grain is post-dedup AND
-    # post-quota (≤ 200 docs per source), orders smaller than the fact,
-    # so the default's fixed rollup cost dominated the whole pipeline
-    # at sf0.1 (VERDICT r6 #2 — 13.07 s vs the 9.0 s baseline); 32
-    # buckets still bound the per-task slice at quota_rows/32 however
-    # many sources exist at 100×
+    # doc_id is unique, so the bucketed form is bit-identical.  The
+    # bucket count resolves adaptively (r8, generalizing this stage's
+    # own r7 precedent of pinning 32): this grain is post-dedup AND
+    # post-quota, orders smaller than the fact, so the estimate picks
+    # the single flat level here while a 100× input flips to the
+    # 1024-bucket hybrid on its own.
     packed = bucketed_cumsum(
-        toks, "doc_id", ("n_tok",), n_buckets=32, inclusive=False,
+        toks, "doc_id", ("n_tok",), inclusive=False,
         partition_by=("lang",),
     ).withColumn(
         "seq_id", F.floor(F.col("cum_n_tok") / 512.0).cast("bigint")

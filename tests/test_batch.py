@@ -62,10 +62,11 @@ def test_run_batch_matches_per_query_results(spark):
     assert set(got) == set(want)
     for n in BATCH:
         assert got[n] == want[n], f"materialize-batch result differs for {n}"
-    # the overrides were cleared: standalone plans rebuild normally
+    # the batch context never leaks to the caller's thread: standalone
+    # plans rebuild normally
     from cid_etl_spark.plans import fragments as fr
 
-    assert not fr._OVERRIDES
+    assert fr.current_context() is None
     # cache mode, strictly serial
     got_c = run_batch(
         spark, SF, BATCH, action=rows, mode="cache", max_concurrency=1
@@ -121,3 +122,93 @@ def test_fragments_standalone_values(spark):
         dtc.groupBy("doc_id", "tok").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_query_fragments_map_derived_mechanically(spark):
+    """VERDICT r7 #2: QUERY_FRAGMENTS must equal the map DERIVED from
+    the plans themselves — matching every registered query's analyzed
+    tree against the fragment builders' canonical subtrees.  This is
+    the inverse of test_fragment_substitution_fires: that test catches
+    a listed query drifting OFF its fragment; this one catches a query
+    whose plan contains a fragment subtree while MISSING from the map
+    (reuse silently forfeited).  Building a plan runs whatever the
+    builder runs (streaming staging, fixpoints), so this is the
+    slowest honesty test — it sweeps the full registry at sf0.001."""
+    from cid_etl_spark.plans.batch import derive_query_fragments
+
+    derived = derive_query_fragments(spark, SF)
+    assert derived == QUERY_FRAGMENTS, (
+        "hand-declared QUERY_FRAGMENTS drifted from the mechanically "
+        f"derived map; missing={set(derived) - set(QUERY_FRAGMENTS)} "
+        f"extra={set(QUERY_FRAGMENTS) - set(derived)}"
+    )
+
+
+def test_fragment_derivation_catches_divergent_query(spark):
+    """A deliberately-divergent consumer — builds through the
+    canonical helper but is absent from QUERY_FRAGMENTS — must be
+    caught by the derivation (proves the mechanism detects
+    reuse-by-omission, not just agreement on today's map)."""
+    from cid_etl_spark.plans.batch import FRAGMENTS, _plan_contains_direct
+    from cid_etl_spark.plans.fragments import token_stream
+
+    divergent = (
+        token_stream(spark, SF).groupBy("lang").count()
+    )  # a "new token query" someone forgot to register in the map
+    frag_plans = {
+        n: FRAGMENTS[n](spark, SF)._jdf.queryExecution().analyzed()
+        for n in FRAGMENTS
+    }
+    hits = _plan_contains_direct(
+        divergent._jdf.queryExecution().analyzed(), frag_plans
+    )
+    assert hits == {"token_stream"}
+    # and the nested-subtree rule: a doc_term_counts consumer is
+    # credited with the ROLLUP only, not the stream inside it
+    from cid_etl_spark.plans.fragments import doc_term_counts
+
+    nested = doc_term_counts(spark, SF).groupBy("lang").count()
+    hits2 = _plan_contains_direct(
+        nested._jdf.queryExecution().analyzed(), frag_plans
+    )
+    assert hits2 == {"doc_term_counts"}
+
+
+def test_run_batch_explicit_scratch_root(spark, tmp_path):
+    """The 100 TB scratch contract (VERDICT r7 #5): an explicit
+    *scratch_root* (or the ``spark.cid_etl.batch.scratchRoot`` conf)
+    receives a unique per-batch subdirectory for the materialized
+    fragments, and exactly that subdirectory is removed when the batch
+    finishes — so concurrent batches can share one cluster-visible
+    root without colliding."""
+    import os
+
+    from cid_etl_spark.queries import spark_queries
+
+    queries = spark_queries()
+    root = str(tmp_path / "shared_scratch")
+    os.makedirs(root)
+    sentinel = os.path.join(root, "someone_elses_file")
+    open(sentinel, "w").write("keep me")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    sub = ["tfidf_top_terms", "bm25_search_documents"]
+    want = {n: rows(queries[n](spark, SF)) for n in sub}
+    got = run_batch(spark, SF, sub, action=rows, scratch_root=root)
+    for n in sub:
+        assert got[n] == want[n]
+    # the batch's own subdir is gone, the shared root and foreign
+    # content survive
+    assert os.path.exists(sentinel)
+    assert os.listdir(root) == ["someone_elses_file"]
+    # conf-key fallback resolves the same way
+    spark.conf.set("spark.cid_etl.batch.scratchRoot", root)
+    try:
+        got2 = run_batch(spark, SF, sub, action=rows)
+        for n in sub:
+            assert got2[n] == want[n]
+        assert os.listdir(root) == ["someone_elses_file"]
+    finally:
+        spark.conf.unset("spark.cid_etl.batch.scratchRoot")

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Round-8 run_batch ladders (VERDICT r7 #1/#3): measure batch reuse
+for the NEW fragment families at sf0.1 —
+
+1. the sequence/ANN mixed batch (user_event_seq shared by 3 sequence
+   consumers, signed_embeddings by the 2 LSH consumers);
+2. the bucket family batch (no declared fragments — reuse comes from
+   the batch context materializing each helper's percentile edge
+   rollup once per canonical plan, shared_scan);
+3. the r7 lexical batch re-measured (regression guard on the 2.53×).
+
+Each mode reports the median of 3.  Run:  python tools/probe_batch_families.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cid_etl_spark.plans.batch import run_batch  # noqa: E402
+from cid_etl_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+LADDERS = {
+    "seq_ann_mixed": [
+        "event_transition_matrix", "top_session_paths", "sessionize_events",
+        "cosine_topk_lsh", "cosine_topk_lsh_probeall",
+    ],
+    "bucket_family": [
+        "rfm_segmentation_customers", "gini_by_region_orders",
+        "weighted_median_lineitem", "ks_test_priority_orders",
+        "mann_whitney_priority_orders",
+    ],
+    "lexical_r7": [
+        "top_ngrams_per_lang", "vocab_encode_documents",
+        "unigram_logprob_score", "inverted_index_lookup",
+        "tfidf_top_terms", "bm25_search_documents",
+        "ccnet_quality_buckets", "hybrid_rrf_search",
+    ],
+}
+
+
+def main() -> None:
+    from cid_etl_spark.queries import spark_queries
+
+    spark = get_spark("probe-batch-families")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = spark_queries()
+    queries["pricing_summary"](spark, SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def med3(fn):
+        ts = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[1]
+
+    for ladder, names in LADDERS.items():
+        seq = med3(lambda: [noop(queries[n](spark, SF)) for n in names])
+        bat_serial = med3(
+            lambda: run_batch(spark, SF, names, max_concurrency=1)
+        )
+        bat = med3(lambda: run_batch(spark, SF, names))
+        print(
+            f"LADDER {ladder}: sequential={seq:.2f}s "
+            f"materialize_serial={bat_serial:.2f}s "
+            f"materialize_concurrent={bat:.2f}s "
+            f"speedup={seq / bat:.2f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
