@@ -2747,8 +2747,8 @@ _BATCH_MEMBER_CANON: dict[str, str] = {
 def run_batch_fragments_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-green evidence for the r7 ``run_batch`` surface itself
     (plans/batch.py): execute a three-member batch THROUGH the batch
-    API — canonical fragments materialized to scratch parquet, members
-    run concurrently, overrides cleared afterwards — and emit one
+    API — canonical fragments materialized to scratch parquet under a
+    batch-scoped context, members run concurrently — and emit one
     (member, n_rows, digest) row per member, where the digest is an
     order-insensitive SUM of 48-bit md5 prefixes over each member's
     canonicalized rows.  The oracle recomputes the same digests from
