@@ -346,3 +346,72 @@ def test_assign_contiguous_ids_zero_based_dense(spark, df):
         ).collect()
     )
     assert ids == list(range(40))
+
+
+def test_adaptive_n_buckets_tiers(spark):
+    """Round-8 adaptive default (VERDICT r7 #1): small plan estimates
+    resolve to the single flat level, unavailable estimates fall back
+    to the safe LARGE tier, and the estimate itself is bounded by the
+    LEAF-scan sum (Catalyst's default join estimate multiplies child
+    sizes; the leaf sum is what actually grows at scale)."""
+    from cid_etl_spark.operators.aggregates import (
+        _ADAPTIVE_LARGE_BUCKETS,
+        _ADAPTIVE_SMALL_BUCKETS,
+        _adaptive_n_buckets,
+        _plan_size_bytes,
+    )
+    from cid_etl_spark.sources.parquet import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert _adaptive_n_buckets(o) == _ADAPTIVE_SMALL_BUCKETS
+    # a self-join would multiply the top-level estimate; the leaf-sum
+    # bound keeps the resolved size within what the plan reads
+    j = o.alias("a").join(
+        load_table(spark, "/root/testdata/sf0.001", "orders").alias("b"),
+        F.col("a.o_custkey") == F.col("b.o_custkey"),
+    )
+    size = _plan_size_bytes(j)
+    assert size is not None and size < 64 << 20
+    assert _adaptive_n_buckets(j) == _ADAPTIVE_SMALL_BUCKETS
+    # estimate unavailable -> the safe big tier
+    class _Broken:
+        class _J:
+            def queryExecution(self):
+                raise RuntimeError("no plan")
+
+        _jdf = _J()
+
+    assert _adaptive_n_buckets(_Broken()) == _ADAPTIVE_LARGE_BUCKETS
+
+
+def test_bucketed_helpers_bit_identical_across_tiers(spark, df):
+    """The tier choice must never change VALUES: ranks and cumsums for
+    n_buckets 8 / 32 / 1024 / adaptive are identical (the monotone
+    bucket-composition argument, pinned)."""
+    from cid_etl_spark.operators.aggregates import (
+        bucketed_cumsum,
+        bucketed_row_number,
+    )
+
+    base = df.select(F.col("v"), F.col("tb"))
+    want = None
+    for nb in (8, 32, 1024, None):
+        got = sorted(
+            (r["tb"], r["row_id"])
+            for r in bucketed_row_number(
+                base, "v", tiebreaks=("tb",), n_buckets=nb
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, f"rank mismatch at n_buckets={nb}"
+    grain = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    want = None
+    for nb in (8, 32, 1024, None):
+        got = sorted(
+            (r["v"], r["cum_c"])
+            for r in bucketed_cumsum(grain, "v", ("c",), n_buckets=nb).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, f"cumsum mismatch at n_buckets={nb}"
