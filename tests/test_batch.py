@@ -212,3 +212,51 @@ def test_run_batch_explicit_scratch_root(spark, tmp_path):
         assert os.listdir(root) == ["someone_elses_file"]
     finally:
         spark.conf.unset("spark.cid_etl.batch.scratchRoot")
+
+
+def test_shared_scan_materializes_edge_rollups_once(spark, tmp_path):
+    """The derived-rollup mechanism itself (VERDICT r7 #1): inside a
+    concurrent-capable batch context, a bucket helper's percentile
+    edge rollup is replaced by a scan of the scratch copy (the
+    percentile aggregate leaves the consumer plan), identical rollups
+    materialize ONCE across builds, and values are unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.operators.aggregates import bucketed_row_number
+    from cid_etl_spark.plans import fragments as fr
+    from cid_etl_spark.sources.parquet import load_table
+
+    base = load_table(spark, SF, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+
+    def build():
+        return bucketed_row_number(
+            base, "freq", tiebreaks=("o_custkey",), id_col="rid"
+        )
+
+    want = sorted(map(tuple, build().collect()))
+    plain_plan = build()._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plain_plan
+
+    scratch = str(tmp_path / "ctx_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=True)
+    with fr.batch_context(ctx):
+        df1 = build()
+        df2 = build()  # identical rollup -> must reuse the same copy
+        ctx_plan = df1._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, df1.collect()))
+    assert "percentile_approx" not in ctx_plan, (
+        "edge rollup not replaced by the materialized scan"
+    )
+    derived = [d for d in os.listdir(scratch) if d.startswith("derived_")]
+    assert len(derived) == 1, f"expected one memoized rollup, got {derived}"
+    assert got == want
+    # serial batches keep the lazy plan (A/B-measured slower eager)
+    ctx_serial = fr.BatchContext(spark, SF, scratch, derived_enabled=False)
+    with fr.batch_context(ctx_serial):
+        serial_plan = build()._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in serial_plan
