@@ -155,16 +155,24 @@ _FLAT_MAX_EDGES = 32
 #: (A/B-measured 2.5×: 5.80 s vs 2.32 s on a representative sf0.1
 #: helper call) that only pays off when single-level per-task sorts
 #: (≈ rows/32) would out-grow an executor's sort budget.
+_ADAPTIVE_TINY_BUCKETS = 8
 _ADAPTIVE_SMALL_BUCKETS = _FLAT_MAX_EDGES
 _ADAPTIVE_LARGE_BUCKETS = 1024
-#: Plan-estimated input bytes above which the two-level hybrid is
-#: worth its fixed cost.  256 MiB of plan-estimated bytes is ~5-50M
-#: rows for the narrow (key, tiebreak, measure) frames the helpers
-#: see — the scale where a rows/32 per-task sort starts to matter.
-#: The estimate errs small for compressed leaf scans (parquet bytes <
-#: in-memory bytes), which errs toward the CHEAP tier only below the
-#: threshold's ~10× safety margin; callers at known extreme scale can
-#: always pass ``n_buckets`` explicitly.
+#: Tier edges on the plan-size estimate.  TINY (8 buckets, 7
+#: quantiles) exists because percentile_approx cost scales with the
+#: QUANTILE COUNT (the r7 finding that capped the flat chain at 31):
+#: interleaved A/B at sf0.1 measured 8 buckets beating 32 on every
+#: dependent query (rfm 4.22→3.48 s, weighted_median 3.77→3.12 s).
+#: 32 MiB of plan-estimated bytes is ≲ ~2-8M narrow rows, so the
+#: TINY tier's rows/8 per-task sort stays ≤ ~1M rows.  SMALL (one
+#: flat 32-bucket level) carries to 256 MiB — ~5-50M rows, where a
+#: rows/32 sort still fits an executor comfortably — and LARGE (the
+#: two-level 1024 hybrid) takes everything beyond.  The estimate errs
+#: small for compressed leaf scans (parquet bytes < in-memory bytes),
+#: which errs toward a cheaper tier only within each threshold's ~10×
+#: safety margin; callers at known extreme scale can always pass
+#: ``n_buckets`` explicitly.
+_ADAPTIVE_TINY_THRESHOLD = 32 << 20
 _ADAPTIVE_SIZE_THRESHOLD = 256 << 20
 
 
@@ -207,7 +215,9 @@ def _adaptive_n_buckets(df: DataFrame) -> int:
     size = _plan_size_bytes(df)
     if size is None or size > _ADAPTIVE_SIZE_THRESHOLD:
         return _ADAPTIVE_LARGE_BUCKETS
-    return _ADAPTIVE_SMALL_BUCKETS
+    if size > _ADAPTIVE_TINY_THRESHOLD:
+        return _ADAPTIVE_SMALL_BUCKETS
+    return _ADAPTIVE_TINY_BUCKETS
 
 
 def _null_safe_broadcast_join(

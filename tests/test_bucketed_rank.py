@@ -356,14 +356,14 @@ def test_adaptive_n_buckets_tiers(spark):
     sizes; the leaf sum is what actually grows at scale)."""
     from cid_etl_spark.operators.aggregates import (
         _ADAPTIVE_LARGE_BUCKETS,
-        _ADAPTIVE_SMALL_BUCKETS,
+        _ADAPTIVE_TINY_BUCKETS,
         _adaptive_n_buckets,
         _plan_size_bytes,
     )
     from cid_etl_spark.sources.parquet import load_table
 
     o = load_table(spark, "/root/testdata/sf0.001", "orders")
-    assert _adaptive_n_buckets(o) == _ADAPTIVE_SMALL_BUCKETS
+    assert _adaptive_n_buckets(o) == _ADAPTIVE_TINY_BUCKETS
     # a self-join would multiply the top-level estimate; the leaf-sum
     # bound keeps the resolved size within what the plan reads
     j = o.alias("a").join(
@@ -372,7 +372,7 @@ def test_adaptive_n_buckets_tiers(spark):
     )
     size = _plan_size_bytes(j)
     assert size is not None and size < 64 << 20
-    assert _adaptive_n_buckets(j) == _ADAPTIVE_SMALL_BUCKETS
+    assert _adaptive_n_buckets(j) == _ADAPTIVE_TINY_BUCKETS
     # estimate unavailable -> the safe big tier
     class _Broken:
         class _J:
