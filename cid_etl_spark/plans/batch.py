@@ -134,15 +134,23 @@ def derive_query_fragments(
     return derived
 
 
-def plan_fragments(names: list[str]) -> dict[str, int]:
+def plan_fragments(
+    names: list[str],
+    query_fragments: dict[str, tuple[str, ...]] | None = None,
+) -> dict[str, int]:
     """Decide which fragments a batch of *names* should persist and
     return ``{fragment: use_count}`` for those worth caching.  A
     fragment is worth caching when it has ≥ 2 uses, where a use is a
     direct consumer query in the batch or a cached child fragment
-    built from it (building the child reads the parent once)."""
+    built from it (building the child reads the parent once).
+    *query_fragments* defaults to the registry's declared map; batches
+    with AD-HOC members pass the map extended by batch-time derivation
+    (see :func:`run_batch`)."""
+    if query_fragments is None:
+        query_fragments = QUERY_FRAGMENTS
     direct: dict[str, int] = {f: 0 for f in FRAGMENTS}
     for n in names:
-        for f in QUERY_FRAGMENTS.get(n, ()):
+        for f in query_fragments.get(n, ()):
             direct[f] += 1
     # children first (reverse topological), so a parent sees how many
     # times each child will be BUILT: once if the child is cached,
@@ -164,17 +172,73 @@ def plan_fragments(names: list[str]) -> dict[str, int]:
     return {f: cached[f] for f in FRAGMENTS if f in cached}
 
 
+def _resolve_members(
+    spark: SparkSession,
+    sf_dir: str,
+    names: "list[str] | dict[str, Callable[[SparkSession, str], DataFrame]]",
+) -> tuple[
+    list[str],
+    dict[str, Callable[[SparkSession, str], DataFrame]],
+    dict[str, tuple[str, ...]],
+]:
+    """Normalize a batch spec into ``(ordered names, name→builder,
+    name→fragments)``.  A list of strings means registered queries
+    with the declared fragment map; a dict may mix registered names
+    (value ``None``) with AD-HOC builders, whose fragment consumption
+    is DERIVED at batch time by matching their analyzed plans against
+    the fragment subtrees (round-9 candidate #1, landed early) — an
+    ad-hoc query that builds through a canonical helper gets reuse
+    without registering anywhere."""
+    if isinstance(names, dict):
+        pairs = list(names.items())
+    else:
+        pairs = [(n, None) for n in names]
+    from cid_etl_spark.queries import spark_queries
+
+    registered = spark_queries()
+    fns: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    qf: dict[str, tuple[str, ...]] = {}
+    frag_plans = None
+    for n, fn in pairs:
+        if fn is None:
+            fns[n] = registered[n]
+            if n in QUERY_FRAGMENTS:
+                qf[n] = QUERY_FRAGMENTS[n]
+        else:
+            fns[n] = fn
+            if frag_plans is None:
+                frag_plans = {
+                    f: FRAGMENTS[f](spark, sf_dir)
+                    ._jdf.queryExecution()
+                    .analyzed()
+                    for f in FRAGMENTS
+                }
+            hits = _plan_contains_direct(
+                fn(spark, sf_dir)._jdf.queryExecution().analyzed(),
+                frag_plans,
+            )
+            if hits:
+                qf[n] = tuple(f for f in FRAGMENTS if f in hits)
+    return [n for n, _ in pairs], fns, qf
+
+
 def run_batch(
     spark: SparkSession,
     sf_dir: str,
-    names: list[str],
+    names: "list[str] | dict[str, Callable[[SparkSession, str], DataFrame]]",
     action: Callable[[DataFrame], Any] | None = None,
     mode: str = "materialize",
     max_concurrency: int = 4,
     scratch_root: str | None = None,
 ) -> dict[str, Any]:
-    """Run registered queries *names* with shared fragments reused
-    across them.  *action* materializes each query's DataFrame and its
+    """Run a batch of queries with shared fragments reused across
+    them.  *names* is a list of REGISTERED query names, or a dict
+    mixing registered names (value ``None``) with AD-HOC builders
+    ``name → fn(spark, sf_dir) -> DataFrame`` — ad-hoc members'
+    fragment consumption is derived mechanically from their analyzed
+    plans, so a one-off query built through a canonical helper shares
+    the batch's materialized fragments without touching the registry.
+    *action* materializes each query's DataFrame and its
     return value lands in the result dict (default: a ``noop``-format
     write — full materialization, no driver collect).
 
@@ -221,11 +285,13 @@ def run_batch(
         def action(df: DataFrame) -> None:  # noqa: F811
             df.write.format("noop").mode("overwrite").save()
 
+    member_names, fns, qf = _resolve_members(spark, sf_dir, names)
     if mode == "materialize":
         return _run_materialized(
-            spark, sf_dir, names, action, max_concurrency, scratch_root
+            spark, sf_dir, member_names, fns, qf, action,
+            max_concurrency, scratch_root,
         )
-    to_cache = plan_fragments(names)
+    to_cache = plan_fragments(member_names, qf)
     # remaining consumers per fragment: queries still to run + child
     # fragments still to materialize
     remaining: dict[str, int] = dict(to_cache)
@@ -248,12 +314,9 @@ def run_batch(
     _release_done()
     results: dict[str, Any] = {}
     try:
-        from cid_etl_spark.queries import spark_queries
-
-        queries = spark_queries()
-        for n in names:
-            results[n] = action(queries[n](spark, sf_dir))
-            for f in QUERY_FRAGMENTS.get(n, ()):
+        for n in member_names:
+            results[n] = action(fns[n](spark, sf_dir))
+            for f in qf.get(n, ()):
                 if f in remaining:
                     remaining[f] -= 1
             _release_done()
@@ -267,6 +330,7 @@ def _run_members(
     spark: SparkSession,
     sf_dir: str,
     names: list[str],
+    fns: dict[str, Callable[[SparkSession, str], DataFrame]],
     action: Callable[[DataFrame], Any],
     max_concurrency: int,
     ctx: "_frag.BatchContext | None" = None,
@@ -279,13 +343,10 @@ def _run_members(
     copies — and nothing outside these threads does (ADVICE r7 #3).
     Result dict preserves *names* order; a member's exception
     propagates after the pool drains."""
-    from cid_etl_spark.queries import spark_queries
-
-    queries = spark_queries()
 
     def run_one(n: str):
         with _frag.batch_context(ctx):
-            return action(queries[n](spark, sf_dir))
+            return action(fns[n](spark, sf_dir))
 
     if max_concurrency <= 1 or len(names) == 1:
         return {n: run_one(n) for n in names}
@@ -318,6 +379,8 @@ def _run_materialized(
     spark: SparkSession,
     sf_dir: str,
     names: list[str],
+    fns: dict[str, Callable[[SparkSession, str], DataFrame]],
+    qf: dict[str, tuple[str, ...]],
     action: Callable[[DataFrame], Any],
     max_concurrency: int,
     scratch_root: str | None = None,
@@ -332,7 +395,7 @@ def _run_materialized(
     no check-then-set race, no leaked scratch plans)."""
     import shutil
 
-    to_share = plan_fragments(names)
+    to_share = plan_fragments(names, qf)
     scratch = _scratch_dir(spark, scratch_root)
     ctx = _frag.BatchContext(
         spark, sf_dir, scratch, derived_enabled=max_concurrency > 1
@@ -345,6 +408,8 @@ def _run_materialized(
                 path = os.path.join(scratch, f)
                 FRAGMENTS[f](spark, sf_dir).write.mode("overwrite").parquet(path)
                 ctx.fragment_paths[f] = path
-        return _run_members(spark, sf_dir, names, action, max_concurrency, ctx)
+        return _run_members(
+            spark, sf_dir, names, fns, action, max_concurrency, ctx
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -260,3 +260,41 @@ def test_shared_scan_materializes_edge_rollups_once(spark, tmp_path):
     with fr.batch_context(ctx_serial):
         serial_plan = build()._jdf.queryExecution().executedPlan().toString()
     assert "percentile_approx" in serial_plan
+
+
+def test_run_batch_adhoc_members_derive_fragments(spark):
+    """Round-9 candidate #1 (landed in r8): a dict batch may mix
+    registered names with AD-HOC builders; the ad-hoc members'
+    fragment consumption is derived from their analyzed plans at batch
+    time, so a one-off query built through a canonical helper shares
+    the batch's materialized fragments without registering anywhere.
+    Results must equal standalone runs, and the derived consumption
+    must actually tip the refcount (1 registered + 1 ad-hoc consumer
+    = the fragment materializes)."""
+    from cid_etl_spark.plans.batch import _resolve_members
+    from cid_etl_spark.plans.fragments import token_stream
+
+    def adhoc_lang_counts(spark_, sf_dir):
+        return (
+            token_stream(spark_, sf_dir)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+        )
+
+    members = {"top_ngrams_per_lang": None, "lang_token_counts": adhoc_lang_counts}
+    names, fns, qf = _resolve_members(spark, SF, members)
+    assert names == ["top_ngrams_per_lang", "lang_token_counts"]
+    assert qf["lang_token_counts"] == ("token_stream",)
+    # 2 token_stream consumers -> the fragment is worth materializing
+    assert plan_fragments(names, qf) == {"token_stream": 2}
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want_adhoc = rows(adhoc_lang_counts(spark, SF))
+    from cid_etl_spark.queries import spark_queries
+
+    want_reg = rows(spark_queries()["top_ngrams_per_lang"](spark, SF))
+    got = run_batch(spark, SF, members, action=rows)
+    assert got["lang_token_counts"] == want_adhoc
+    assert got["top_ngrams_per_lang"] == want_reg
