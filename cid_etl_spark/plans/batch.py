@@ -68,6 +68,8 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "event_transition_matrix": ("user_event_seq",),
     "top_session_paths": ("user_event_seq",),
     "sessionize_events": ("user_event_seq",),
+    "consecutive_dup_collapse": ("user_event_seq",),
+    "interarrival_burstiness_users": ("user_event_seq",),
     "cosine_topk_lsh": ("signed_embeddings",),
     "cosine_topk_lsh_probeall": ("signed_embeddings",),
 }

@@ -194,14 +194,16 @@ def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical per-user ordered event sequence (round 8, VERDICT
     r7 #3): one user-shuffle window pass over ``events`` ordered by
-    ``(ts, event_id)`` carrying BOTH sequence neighbors — ``prev_ts``
-    (lag, feeds sessionization gap tests) and ``next_type`` (lead,
-    feeds transition matrices).  The user_id exchange + per-user sort
-    is the dominant cost every sequence query pays; in a batch it runs
-    once here.  Both neighbor columns ride the SAME window spec, so
-    the pass costs one sort regardless of how many consumers want
-    which column; standalone, Catalyst prunes the unused window
-    expression from each consumer's solo plan.
+    ``(ts, event_id)`` carrying the sequence neighbors — ``prev_ts``
+    (lag, feeds sessionization gap tests and inter-arrival gaps),
+    ``prev_type`` (lag, feeds run-length collapse), and ``next_type``
+    (lead, feeds transition matrices).  The user_id exchange +
+    per-user sort is the dominant cost every sequence query pays; in a
+    batch it runs once here.  All neighbor columns ride the SAME
+    window spec, so the pass costs one sort regardless of how many
+    consumers want which column; standalone, Catalyst prunes the
+    unused window expressions from each consumer's solo plan (pinned:
+    top_session_paths' plan carries lag but no lead).
 
     Ordering note: consumers whose oracle orders by ``ts`` alone
     (sessionize_events) are safe on this (ts, event_id) order — within
@@ -221,6 +223,7 @@ def user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
     )
 

@@ -320,6 +320,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # r8 fragment refactors (user_event_seq / signed_embeddings /
     # token_stream routing): plans changed, outputs must not
     "sessionize_events", "top_session_paths", "event_transition_matrix",
+    "consecutive_dup_collapse", "interarrival_burstiness_users",
     "cosine_topk_lsh_probeall", "oov_rate_by_split",
     # batch digest row after the NULL-double canonicalization fix
     "run_batch_fragments_verified",

@@ -1903,13 +1903,13 @@ def consecutive_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither exact dedup (kills all repeats) nor sessionization
     provides.  One lag window over the user-keyed shuffle; the report
     counts kept vs collapsed per user.  The (ts, event_id) tiebreak
-    makes the survivor set engine-deterministic."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
+    makes the survivor set engine-deterministic.  The sequence pass
+    comes from the canonical ``user_event_seq`` fragment (r8); solo,
+    Catalyst prunes the fragment's other neighbor columns."""
+    from cid_etl_spark.plans.fragments import user_event_seq
+
+    seq = user_event_seq(spark, sf_dir).select(
+        "user_id", "event_type", "prev_type"
     )
     keep = F.col("prev_type").isNull() | (
         F.col("event_type") != F.col("prev_type")

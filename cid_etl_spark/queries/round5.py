@@ -2037,16 +2037,19 @@ def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame
     in both engines, so the doubles agree bit-for-bit before the final
     round.  One keyed window pass + one keyed aggregation; both
     partition by user, no global shuffle."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the sequence pass comes from the canonical user_event_seq
+    # fragment (r8): lag(unix_micros(ts)) == unix_micros(lag(ts))
+    # pointwise, so the gap integers are identical
+    from cid_etl_spark.plans.fragments import user_event_seq
+
+    seq = user_event_seq(spark, sf_dir)
     # exact integer microseconds, then integer-divide to whole seconds:
     # double-epoch subtraction risks a floor flip at ~0.2us fp error
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    ordered = e.select(
+    prev_us = F.unix_micros(F.col("prev_ts").cast("timestamp_ltz"))
+    ordered = seq.select(
         "user_id",
-        ((us - F.lag(us).over(w)) / F.lit(1000000))
-        .cast("bigint")
-        .alias("gap"),
+        ((us - prev_us) / F.lit(1000000)).cast("bigint").alias("gap"),
     )
     s = (
         ordered.where(F.col("gap").isNotNull())

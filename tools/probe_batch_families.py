@@ -28,6 +28,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LADDERS = {
     "seq_ann_mixed": [
         "event_transition_matrix", "top_session_paths", "sessionize_events",
+        "consecutive_dup_collapse", "interarrival_burstiness_users",
         "cosine_topk_lsh", "cosine_topk_lsh_probeall",
     ],
     "bucket_family": [
