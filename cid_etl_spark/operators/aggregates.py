@@ -317,6 +317,14 @@ def _range_bucketed(
         fine_bounds = coarse.groupBy(*pb).agg(
             F.min(v).alias("__lo"), F.max(v).alias("__hi")
         )
+        # batch-shared like the percentile rollup below: inside a
+        # concurrent materialize-mode batch the min/max refinement
+        # rollup also writes once and both consumer branches scan it
+        from cid_etl_spark.plans.fragments import shared_scan
+
+        shared_fine = shared_scan(fine_bounds, "bucket_fine_bounds")
+        if shared_fine is not None:
+            fine_bounds = shared_fine
         fine = _null_safe_broadcast_join(coarse, fine_bounds, list(pb))
         fine_bucket = F.when(
             F.col("__hi") > F.col("__lo"),

@@ -298,3 +298,41 @@ def test_run_batch_adhoc_members_derive_fragments(spark):
     got = run_batch(spark, SF, members, action=rows)
     assert got["lang_token_counts"] == want_adhoc
     assert got["top_ngrams_per_lang"] == want_reg
+
+
+def test_shared_scan_covers_two_level_rollups(spark, tmp_path):
+    """In the LARGE tier (two-level hybrid), BOTH derived rollups —
+    the coarse percentile edges and the fine min/max refinement —
+    materialize once each inside a batch context, and values match
+    the no-context run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cid_etl_spark.operators.aggregates import bucketed_row_number
+    from cid_etl_spark.plans import fragments as fr
+    from cid_etl_spark.sources.parquet import load_table
+
+    base = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+
+    def build():
+        return bucketed_row_number(
+            base, "v", tiebreaks=("o_orderkey",), n_buckets=1024, id_col="rid"
+        )
+
+    want = sorted(map(tuple, build().collect()))
+    scratch = str(tmp_path / "two_level_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=True)
+    with fr.batch_context(ctx):
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, df.collect()))
+    assert "percentile_approx" not in plan
+    derived = sorted(
+        d.split("_")[1] for d in os.listdir(scratch) if d.startswith("derived_")
+    )
+    assert len(derived) == 2, f"expected edges + fine bounds, got {derived}"
+    assert got == want
