@@ -176,6 +176,33 @@ _ADAPTIVE_TINY_THRESHOLD = 32 << 20
 _ADAPTIVE_SIZE_THRESHOLD = 256 << 20
 
 
+#: Estimate head-room multiplier applied when the plan contains a
+#: ``Generate`` (explode) node — ADVICE r8 #3: Catalyst's no-CBO
+#: stats do not grow past the child through a Generate, and the leaf
+#: bound reads COMPRESSED parquet bytes, so an explode-fed input can
+#: undershoot far past the thresholds' documented ~10× safety margin
+#: and land a genuinely large input in the TINY tier (recreating the
+#: per-task sorts the helpers exist to avoid).  16× covers typical
+#: token-per-row fan-outs at the compressed-to-exploded boundary;
+#: callers exploding far wider than that at known scale should pin
+#: ``n_buckets`` explicitly (speed-only either way — tier choice never
+#: affects values).
+_GENERATE_FANOUT_ALLOWANCE = 16
+
+
+def _contains_generate(plan) -> bool:
+    """True when the JVM logical *plan* contains a Generate node."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Generate":
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Size estimate for *df*'s optimized logical plan — pure plan
     analysis (file-listing stats for leaves, width-scaled propagation
@@ -186,8 +213,12 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     estimated > 256 MiB over a 2.7 MB scan); the leaf sum bounds what
     the plan actually READS, which is the quantity that grows 100× at
     100×, while the top estimate keeps credit for aggregate shrinkage
-    in join-free plans.  None when the estimate is unavailable (the
-    caller then assumes BIG: the safe tier at scale)."""
+    in join-free plans.  Explode-fed plans scale the bound up by
+    :data:`_GENERATE_FANOUT_ALLOWANCE` (neither component sees
+    generator fan-out, so both undershoot — the error direction that
+    lands big inputs in the small-sort tiers).  None when the estimate
+    is unavailable (the caller then assumes BIG: the safe tier at
+    scale)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         top = int(plan.stats().sizeInBytes())
@@ -196,7 +227,10 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
             int(leaves.apply(i).stats().sizeInBytes())
             for i in range(leaves.size())
         )
-        return min(top, leaf_sum)
+        est = min(top, leaf_sum)
+        if _contains_generate(plan):
+            est *= _GENERATE_FANOUT_ALLOWANCE
+        return est
     except Exception:
         return None
 

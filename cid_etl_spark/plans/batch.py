@@ -278,10 +278,13 @@ def run_batch(
     local tempdir.  On a cluster, point it at storage every executor
     can reach (HDFS/object-store URI or a shared filesystem mount);
     the default tempdir is only correct where driver and executors
-    share a filesystem, i.e. local mode.  Each batch creates a unique
-    subdirectory under the root and removes exactly that subdirectory
-    when it finishes, so concurrent batches sharing one root never
-    collide.
+    share a filesystem, i.e. local mode.  An explicit root's per-batch
+    subdirectory is created and deleted through the Hadoop
+    ``FileSystem`` resolved from the root URI — the same resolution
+    the fragment writes use — so remote roots work and are cleaned up
+    (ADVICE r8 #1).  Each batch creates a unique subdirectory under
+    the root and removes exactly that subdirectory when it finishes,
+    so concurrent batches sharing one root never collide.
     """
     if action is None:
         def action(df: DataFrame) -> None:  # noqa: F811
@@ -359,22 +362,44 @@ def _run_members(
         return {n: futures[n].result() for n in names}
 
 
-def _scratch_dir(spark: SparkSession, scratch_root: str | None) -> str:
-    """Resolve this batch's unique scratch directory.  Precedence:
-    explicit *scratch_root* argument, the session conf
-    ``spark.cid_etl.batch.scratchRoot``, a local tempdir.  At 100 TB
-    the root must be cluster-visible storage (see run_batch docstring);
-    the tempdir default is the local-mode convenience."""
+def _scratch_dir(
+    spark: SparkSession, scratch_root: str | None
+) -> tuple[str, Callable[[], None]]:
+    """Resolve this batch's unique scratch directory and return
+    ``(path, cleanup)``.  Precedence: explicit *scratch_root* argument,
+    the session conf ``spark.cid_etl.batch.scratchRoot``, a local
+    tempdir.  An EXPLICIT root is created and deleted through the
+    Hadoop ``FileSystem`` API resolved from the root's own URI (ADVICE
+    r8 #1: ``os.makedirs``/``shutil.rmtree`` are local-filesystem-only,
+    so an ``hdfs://``/``s3a://`` root either crashed at makedirs or
+    leaked the remote fragment data forever) — the same resolution
+    Spark's own writers use, so mkdir, the fragment writes, and the
+    final delete all agree on which filesystem the root names.  The
+    tempdir default stays a plain local dir: it is only correct where
+    driver and executors share a filesystem, i.e. local mode."""
+    import shutil
     import tempfile
     import uuid
 
     if scratch_root is None:
         scratch_root = spark.conf.get("spark.cid_etl.batch.scratchRoot", None)
     if scratch_root is None:
-        return tempfile.mkdtemp(prefix="cid_etl_batch_")
+        path = tempfile.mkdtemp(prefix="cid_etl_batch_")
+        return path, lambda: shutil.rmtree(path, ignore_errors=True)
     path = os.path.join(scratch_root, f"cid_etl_batch_{uuid.uuid4().hex}")
-    os.makedirs(path, exist_ok=False)
-    return path
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.mkdirs(jpath):
+        raise IOError(f"could not create batch scratch dir {path}")
+
+    def cleanup() -> None:
+        try:
+            fs.delete(jpath, True)
+        except Exception:
+            pass
+
+    return path, cleanup
 
 
 def _run_materialized(
@@ -395,12 +420,15 @@ def _run_materialized(
     queries built while a batch is in flight — are isolated by
     construction (ADVICE r7 #1/#3: no process-global override dict,
     no check-then-set race, no leaked scratch plans)."""
-    import shutil
-
     to_share = plan_fragments(names, qf)
-    scratch = _scratch_dir(spark, scratch_root)
+    scratch, cleanup = _scratch_dir(spark, scratch_root)
+    # Derived-rollup materialization only pays when OTHER members run
+    # concurrently during the write (ADVICE r8 #4: a single-member
+    # batch fell into the eager path the code's own A/B shows is
+    # slower serial — 23.7 s vs 17.3 s on the bucket ladder).
     ctx = _frag.BatchContext(
-        spark, sf_dir, scratch, derived_enabled=max_concurrency > 1
+        spark, sf_dir, scratch,
+        derived_enabled=max_concurrency > 1 and len(names) > 1,
     )
     try:
         # parents first: a child fragment's build reads the parent's
@@ -414,4 +442,4 @@ def _run_materialized(
             spark, sf_dir, names, fns, action, max_concurrency, ctx
         )
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        cleanup()

@@ -50,6 +50,16 @@ from cid_etl_spark.functions.text import tokens
 from cid_etl_spark.sources.parquet import load_table
 
 
+class _BuildFailed:
+    """Memo sentinel for a derived rollup whose build raised: waiters
+    re-raise the ORIGINAL exception instead of a masking KeyError."""
+
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class BatchContext:
     """Materialization state for one in-flight ``run_batch`` call:
     the scratch dir, the pre-materialized fragment paths, and a
@@ -78,7 +88,7 @@ class BatchContext:
         self.derived_enabled = derived_enabled
         #: fragment name → parquet path (set by run_batch up front).
         self.fragment_paths: dict[str, str] = {}
-        self._derived: dict[str, str] = {}
+        self._derived: dict[str, "str | _BuildFailed"] = {}
         self._inflight: dict[str, threading.Event] = {}
         self._lock = threading.Lock()
         self._seq = 0
@@ -87,10 +97,15 @@ class BatchContext:
         """Return the scratch-parquet path for the derived plan *key*,
         materializing it via *build(path)* exactly once across all
         batch threads (double-checked: losers of the insert race wait
-        on the winner's event)."""
+        on the winner's event).  If the winning builder RAISES, its
+        exception is memoized and re-raised in every waiter (ADVICE r8
+        #2: waiters used to wake to a ``KeyError`` that masked the real
+        build failure) — the key stays poisoned for the batch's
+        lifetime, which is correct because every member consuming the
+        rollup would fail the same way."""
         with self._lock:
             if key in self._derived:
-                return self._derived[key]
+                return self._unwrap(key)
             ev = self._inflight.get(key)
             if ev is None:
                 ev = self._inflight[key] = threading.Event()
@@ -103,16 +118,28 @@ class BatchContext:
         if not owner:
             ev.wait()
             with self._lock:
-                return self._derived[key]
+                return self._unwrap(key)
         try:
             build(path)
             with self._lock:
                 self._derived[key] = path
+        except BaseException as exc:
+            with self._lock:
+                self._derived[key] = _BuildFailed(exc)
+            raise
         finally:
             ev.set()
             with self._lock:
                 self._inflight.pop(key, None)
         return path
+
+    def _unwrap(self, key: str) -> str:
+        """Resolve a memoized derive: the path, or the winning
+        builder's exception re-raised (caller holds the lock)."""
+        val = self._derived[key]
+        if isinstance(val, _BuildFailed):
+            raise val.exc
+        return val
 
 
 _TLS = threading.local()

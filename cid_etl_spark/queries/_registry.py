@@ -288,41 +288,62 @@ _ROUND7_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the round-8 driver window hash-verified
+#: (CORRECTNESS_r08.json, 50/50 green): the adaptive-bucket family,
+#: the r8 fragment refactors, the batch digest row, and the 32-row
+#: stalest fill that cleared the whole r2-latest tail.
+_ROUND8_VERIFIED: frozenset[str] = frozenset(
+    {
+        "arrow_udf_reading_time", "bfs_distances_copurchase",
+        "ccnet_quality_buckets", "consecutive_dup_collapse",
+        "contiguous_ids_documents", "cosine_topk_lsh_probeall",
+        "curriculum_phases", "dedup_clusters_star", "domain_quota_sample",
+        "embedding_outliers_by_label", "event_transition_matrix",
+        "exists_late_orders", "flatten_props_udtf", "funnel_events",
+        "gini_by_region_orders", "heavy_hitters_parts",
+        "hll_daily_users_events", "holdout_split_documents",
+        "incremental_dedup_ingest", "interarrival_burstiness_users",
+        "ks_test_priority_orders", "loyal_customers_by_nation",
+        "mann_whitney_priority_orders", "media_image_features",
+        "oov_rate_by_split", "pack_sequences_documents",
+        "percentile_stats_lineitem", "pii_redaction_documents",
+        "pretraining_data_pipeline", "quantile_trim_documents",
+        "rank_customers_in_segment", "repetition_filter_documents",
+        "resample_gapfill_events", "rfm_segmentation_customers",
+        "run_batch_fragments_verified", "salted_agg_lineitem",
+        "scd2_priority_history", "scd_upsert_orders",
+        "semantic_dedup_exact_embeddings", "sessionize_events",
+        "small_quantity_revenue", "span_dedup_documents",
+        "spearman_acctbal_spend", "stratified_sample_documents",
+        "top_session_paths", "tpch_q10_returned_items",
+        "tpch_q18_large_orders", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume", "weighted_median_lineitem",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
 _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
-    _ROUND7_VERIFIED,
+    _ROUND7_VERIFIED, _ROUND8_VERIFIED,
 )
 
-#: Round-8 driver window, most-valuable-first: the queries whose PLANS
-#: changed this round — every bucket-helper consumer again (adaptive
-#: ``n_buckets`` resolves the single-level tier at driver scale,
-#: VERDICT r7 #1; outputs bit-identical by the monotone-bucket
-#: argument, which these slots prove under the driver's own harness),
-#: the queries refactored onto the NEW canonical fragments
-#: (user_event_seq / signed_embeddings / the derivation-caught
-#: oov_rate token_stream routing, VERDICT r7 #2-#3), and the batch
-#: digest row after its NULL-double canonicalization fix (ADVICE r7
-#: #2).  The remaining ~32 slots fall through to the freshness rule in
-#: ``_ordered_names``: oldest-driver-green first, which clears the
-#: entire r2-latest tail (28 rows) this round (VERDICT r7 #4).
+#: Round-9 driver window (VERDICT r8 #1: spend essentially ALL
+#: non-priority slots on the freshness backlog).  The only plans that
+#: change this round are the batch machinery's (stats-family derived
+#: rollup sharing + bucketed-fact materialization live INSIDE
+#: ``run_batch``'s thread-scoped context, so standalone member plans
+#: are untouched by construction) — the batch digest row is the one
+#: changed-plan re-verify.  The other 49 slots fall through to the
+#: freshness rule in ``_ordered_names``: oldest-driver-green first,
+#: which clears the ENTIRE r3-latest tail (46 oracled rows) this
+#: round; after r9 no oracled row's latest driver green predates r4.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # adaptive-bucket family (plans changed, outputs must not)
-    "rfm_segmentation_customers", "ccnet_quality_buckets",
-    "curriculum_phases", "gini_by_region_orders",
-    "rank_customers_in_segment", "pack_sequences_documents",
-    "ks_test_priority_orders", "mann_whitney_priority_orders",
-    "spearman_acctbal_spend", "weighted_median_lineitem",
-    "contiguous_ids_documents", "pretraining_data_pipeline",
-    # r8 fragment refactors (user_event_seq / signed_embeddings /
-    # token_stream routing): plans changed, outputs must not
-    "sessionize_events", "top_session_paths", "event_transition_matrix",
-    "consecutive_dup_collapse", "interarrival_burstiness_users",
-    "cosine_topk_lsh_probeall", "oov_rate_by_split",
-    # batch digest row after the NULL-double canonicalization fix
+    # batch machinery changed (derived stats rollups, bucketed facts,
+    # scratch-contract fix): the digest row re-proves member results
+    # bit-identical through run_batch under the driver's harness
     "run_batch_fragments_verified",
 )
 

@@ -336,3 +336,118 @@ def test_shared_scan_covers_two_level_rollups(spark, tmp_path):
     )
     assert len(derived) == 2, f"expected edges + fine bounds, got {derived}"
     assert got == want
+
+
+def test_run_batch_uri_scratch_root(spark, tmp_path):
+    """ADVICE r8 #1: an explicit scratch_root given as a URI must be
+    created and cleaned through the Hadoop FileSystem resolved from
+    that URI — os.makedirs would have built a literal ``file:`` local
+    directory and rmtree would never have removed the real one."""
+    import os
+
+    from cid_etl_spark.queries import spark_queries
+
+    queries = spark_queries()
+    root_local = tmp_path / "uri_scratch"
+    os.makedirs(root_local)
+    root_uri = f"file://{root_local}"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    sub = ["tfidf_top_terms", "bm25_search_documents"]
+    want = {n: rows(queries[n](spark, SF)) for n in sub}
+    got = run_batch(spark, SF, sub, action=rows, scratch_root=root_uri)
+    for n in sub:
+        assert got[n] == want[n]
+    # no bogus local 'file:...' dir anywhere, and the per-batch subdir
+    # under the REAL root was removed
+    assert not os.path.exists("file:"), "URI treated as a local path"
+    assert os.listdir(root_local) == []
+
+
+def test_derived_path_propagates_build_failure(spark, tmp_path):
+    """ADVICE r8 #2: when the winning thread's build raises, every
+    waiter must re-raise the ORIGINAL exception — not a KeyError on
+    the missing memo entry."""
+    import os
+    import threading
+
+    from cid_etl_spark.plans import fragments as fr
+
+    scratch = str(tmp_path / "fail_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=True)
+    gate = threading.Event()
+    boom = RuntimeError("fragment build exploded")
+
+    def failing_build(path):
+        gate.wait(5)
+        raise boom
+
+    errors = {}
+
+    def worker(name):
+        try:
+            ctx.derived_path("shared-key", failing_build)
+        except BaseException as exc:  # noqa: BLE001
+            errors[name] = exc
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    gate.set()
+    for t in threads:
+        t.join(10)
+    assert len(errors) == 3
+    assert all(e is boom for e in errors.values()), errors
+    # the key stays poisoned: later callers fail the same way, fast
+    try:
+        ctx.derived_path("shared-key", failing_build)
+        raised = None
+    except BaseException as exc:  # noqa: BLE001
+        raised = exc
+    assert raised is boom
+
+
+def test_single_member_batch_skips_derived_rollups(spark, tmp_path):
+    """ADVICE r8 #4: a single-member batch has nobody to overlap the
+    eager rollup write with, so derived materialization must stay off
+    even at the default max_concurrency."""
+    import os
+
+    from cid_etl_spark.queries import spark_queries
+
+    queries = spark_queries()
+    root = str(tmp_path / "single_scratch")
+    os.makedirs(root)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    from cid_etl_spark.plans import fragments as fr
+
+    made = []
+    real_ctx = fr.BatchContext
+
+    class Spy(real_ctx):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            made.append(self)
+
+    name = "rfm_segmentation_customers"
+    want = rows(queries[name](spark, SF))
+    fr.BatchContext = Spy
+    try:
+        got = run_batch(spark, SF, [name], action=rows, scratch_root=root)
+    finally:
+        fr.BatchContext = real_ctx
+    assert got[name] == want
+    assert len(made) == 1 and made[0].derived_enabled is False
+    # and with derived off, shared_scan keeps the lazy plan
+    ctx = real_ctx(spark, SF, root, derived_enabled=False)
+    with fr.batch_context(ctx):
+        assert fr.shared_scan(queries[name](spark, SF), "probe") is None
+    assert os.listdir(root) == []

@@ -384,6 +384,30 @@ def test_adaptive_n_buckets_tiers(spark):
     assert _adaptive_n_buckets(_Broken()) == _ADAPTIVE_LARGE_BUCKETS
 
 
+def test_plan_size_scales_up_for_generate(spark):
+    """ADVICE r8 #3: neither the top estimate nor the leaf sum sees
+    generator fan-out (Generate stats don't grow past the child, leaf
+    bytes are compressed), so an explode-fed plan's estimate is scaled
+    by the fan-out allowance — erring toward the bigger, sort-safe
+    tier."""
+    from cid_etl_spark.operators.aggregates import (
+        _GENERATE_FANOUT_ALLOWANCE,
+        _plan_size_bytes,
+    )
+    from cid_etl_spark.sources.parquet import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    flat = d.select("doc_id", "text")
+    exploded = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    base = _plan_size_bytes(flat)
+    grown = _plan_size_bytes(exploded)
+    assert base is not None and grown is not None
+    # the exploded plan reads a subset of the same leaf yet estimates
+    # LARGER by exactly the allowance factor over its own min-bound
+    assert grown >= base
+    assert grown % _GENERATE_FANOUT_ALLOWANCE == 0
+
+
 def test_bucketed_helpers_bit_identical_across_tiers(spark, df):
     """The tier choice must never change VALUES: ranks and cumsums for
     n_buckets 8 / 32 / 1024 / adaptive are identical (the monotone
