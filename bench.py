@@ -38,6 +38,14 @@ REGRESSION_RATIO = 1.5
 #: sub-half-second deltas on this host are scheduler/GC noise, not
 #: regressions — single-run baselines vary ±20% at that scale
 _MIN_REGRESSION_ABS_SEC = 0.5
+#: Sub-2 s queries need a LARGER absolute delta to flag (VERDICT r8
+#: #2): their session-to-session band is ±40-50% of wall (codegen
+#:  compile order, GC timing), so a 0.6 s delta on a 1.1 s baseline is
+#: indistinguishable from ambient drift — the r8 driver flag on
+#: autocorrelation_daily_revenue (1.697 vs 1.093) reproduced at
+#: 1.07-1.95 s in one interleaved session with no code change.
+_MIN_REGRESSION_ABS_SEC_SUB2 = 1.0
+_SUB2_BASELINE_SEC = 2.0
 
 #: Queries whose first-pass wall exceeds this get re-run twice and
 #: reported as the median of 3 (noise control, VERDICT r6 #6);
@@ -62,6 +70,9 @@ WARM_FIRST = {
     # materializes fragments + compiles three member plans against the
     # parquet overrides on first run (7.8 s first, 2.5-3.2 steady)
     "run_batch_fragments_verified",
+    # same shape: six stats members compile against the two shared
+    # frames on first run (5.4 s first, 2.7-2.8 steady, round 9)
+    "run_batch_stats_verified",
 }
 
 
@@ -359,6 +370,8 @@ HEADLINE = [
     "spearman_acctbal_spend",
     # round 7: the run_batch surface's own driver row
     "run_batch_fragments_verified",
+    # round 9: the stats-family fragment batch digest
+    "run_batch_stats_verified",
 ]
 
 
@@ -408,11 +421,16 @@ def main() -> None:
     baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"), sf)
 
     def is_flagged(name: str, t: float) -> bool:
+        if name not in baseline or baseline[name] <= 0:
+            return False
+        min_abs = (
+            _MIN_REGRESSION_ABS_SEC_SUB2
+            if baseline[name] < _SUB2_BASELINE_SEC
+            else _MIN_REGRESSION_ABS_SEC
+        )
         return (
-            name in baseline
-            and baseline[name] > 0
-            and t > REGRESSION_RATIO * baseline[name]
-            and t - baseline[name] > _MIN_REGRESSION_ABS_SEC
+            t > REGRESSION_RATIO * baseline[name]
+            and t - baseline[name] > min_abs
         )
 
     timings: dict[str, float] = {}
@@ -433,6 +451,14 @@ def main() -> None:
     # round-over-round comparison are reproducible by construction.
     # Sub-threshold queries stay single-run — their absolute error is
     # bounded by the threshold and the extra wall isn't worth it.
+    # An UNSTABLE 3-sample set (max/min > 2×) gets two more samples
+    # and reports the median of 5 (VERDICT r8 #3): the r8 driver sweep
+    # measured rfm at [2.44, 5.47, 9.19] — a transient the builder
+    # could not reproduce in fresh OR 120-query-aged sessions (flat
+    # 2.5-3.5 s both ways), i.e. concurrent host load during two
+    # consecutive reruns.  A 3-sample median is corrupted when 2 of 3
+    # samples hit the transient; a 5-sample median needs 3 — and the
+    # extra runs are only paid by queries that actually wobbled.
     reruns: dict[str, list[float]] = {}
     for name in [
         n
@@ -440,8 +466,10 @@ def main() -> None:
         if t > _MEDIAN_THRESHOLD_SEC or is_flagged(n, t)
     ]:
         samples = [timings[name], run_once(name), run_once(name)]
+        if max(samples) > 2 * min(samples):
+            samples += [run_once(name), run_once(name)]
         reruns[name] = samples
-        timings[name] = sorted(samples)[1]
+        timings[name] = sorted(samples)[len(samples) // 2]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

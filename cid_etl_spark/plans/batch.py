@@ -37,6 +37,8 @@ FRAGMENTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_term_counts": _frag.doc_term_counts,
     "user_event_seq": _frag.user_event_seq,
     "signed_embeddings": _frag.signed_embeddings,
+    "daily_order_cents": _frag.daily_order_cents,
+    "monthly_order_stats": _frag.monthly_order_stats,
 }
 
 #: Fragment → fragments it is built FROM (one level here; kept as data
@@ -46,6 +48,8 @@ FRAGMENT_PARENTS: dict[str, tuple[str, ...]] = {
     "doc_term_counts": ("token_stream",),
     "user_event_seq": (),
     "signed_embeddings": (),
+    "daily_order_cents": (),
+    "monthly_order_stats": (),
 }
 
 #: Registered query name → fragments its plan consumes directly.
@@ -72,6 +76,12 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "interarrival_burstiness_users": ("user_event_seq",),
     "cosine_topk_lsh": ("signed_embeddings",),
     "cosine_topk_lsh_probeall": ("signed_embeddings",),
+    "autocorrelation_daily_revenue": ("daily_order_cents",),
+    "runs_test_daily_revenue": ("daily_order_cents",),
+    "monthly_order_revenue": ("monthly_order_stats",),
+    "seasonal_naive_mape_orders": ("monthly_order_stats",),
+    "anomaly_months_orders": ("monthly_order_stats",),
+    "cusum_changepoint_orders": ("monthly_order_stats",),
 }
 
 

@@ -281,6 +281,54 @@ def signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical daily-revenue series: one row per order date with
+    the day's revenue as EXACT integer cents (round 9, VERDICT r8 #4
+    generalized to the stats family's sufficient-statistic frames).
+    The time-series diagnostics — autocorrelation, the runs test —
+    all fold ``orders`` to this same |days|-row frame before their own
+    math; in a batch the fact scan + date shuffle runs once here.
+    Integer cents keep every downstream sufficient statistic exact
+    regardless of which consumer computes it from the shared copy."""
+    m = _materialized(spark, sf_dir, "daily_order_cents")
+    if m is not None:
+        return m
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical monthly-revenue sufficient-statistic frame:
+    ``(month, n_orders, revenue, cents)`` — order count, exact-decimal
+    revenue rounded once to money, and exact integer cents.  The
+    monthly series family (revenue report, seasonal-naive MAPE,
+    seasonal anomaly z-scores, CUSUM change-point) each fold the fact
+    to month grain first; the SUPERSET frame shares that one fact
+    scan + month shuffle across them in a batch, while standalone
+    Catalyst prunes each consumer's unused aggregate expressions so
+    solo plans keep their pre-refactor shape (same argument as
+    :func:`user_event_seq`, pinned by tests/test_batch.py)."""
+    from cid_etl_spark.operators.aggregates import decimal_sum, money
+
+    m = _materialized(spark, sf_dir, "monthly_order_stats")
+    if m is not None:
+        return m
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("revenue"),
+        F.sum(F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
 def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical per-document term-frequency rollup:
     ``(doc_id, lang, tok) → n`` occurrences.  TF tables, document

@@ -341,6 +341,9 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
 #: which clears the ENTIRE r3-latest tail (46 oracled rows) this
 #: round; after r9 no oracled row's latest driver green predates r4.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # NEW row: the stats-family fragment batch digest (certifies the
+    # r9 daily/monthly sufficient-statistic sharing end-to-end)
+    "run_batch_stats_verified",
     # batch machinery changed (derived stats rollups, bucketed facts,
     # scratch-contract fix): the digest row re-proves member results
     # bit-identical through run_batch under the driver's harness

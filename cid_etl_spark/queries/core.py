@@ -977,11 +977,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date_trunc month rollup (P6/F10 family generalized)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        money(decimal_sum("o_totalprice")).alias("revenue"),
+    """date_trunc month rollup (P6/F10 family generalized).  Built on
+    the canonical ``monthly_order_stats`` fragment (round 9):
+    standalone, Catalyst prunes the unused cents column back to the
+    old (month, n_orders, revenue) aggregate; in a batch the monthly
+    family folds the fact once."""
+    from cid_etl_spark.plans.fragments import monthly_order_stats
+
+    return monthly_order_stats(spark, sf_dir).select(
+        "month", "n_orders", "revenue"
     )
 
 

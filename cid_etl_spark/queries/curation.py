@@ -1557,11 +1557,13 @@ def seasonal_naive_mape_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     of any backtest harness (build series → lag-join forecast →
     error rollup).  Revenue is exact-decimal before the one terminal
     rounding; the series is months (tiny), so the lag window's single
-    partition is the right plan, not a scale bug."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        money(decimal_sum("o_totalprice")).alias("revenue")
-    )
+    partition is the right plan, not a scale bug.  The month rollup
+    is the canonical ``monthly_order_stats`` fragment (round 9):
+    standalone, Catalyst prunes it to the old (month, revenue)
+    aggregate; in a batch the monthly family folds the fact once."""
+    from cid_etl_spark.plans.fragments import monthly_order_stats
+
+    m = monthly_order_stats(spark, sf_dir).select("month", "revenue")
     w = Window.orderBy("month")
     f = m.withColumn("forecast", F.lag("revenue", 12).over(w)).filter(
         F.col("forecast").isNotNull()
@@ -2180,11 +2182,14 @@ def anomaly_months_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     'which months broke pattern' report that pairs with
     seasonal_naive_mape_orders' aggregate accuracy.  The series is
     months, so the lag window's single partition is the right plan;
-    the 1-row residual stats broadcast back over the series."""
-    o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        money(decimal_sum("o_totalprice")).alias("revenue")
-    )
+    the 1-row residual stats broadcast back over the series.  The
+    month rollup is the canonical ``monthly_order_stats`` fragment
+    (round 9): standalone, Catalyst prunes it to the old (month,
+    revenue) aggregate; in a batch the monthly family folds the fact
+    once."""
+    from cid_etl_spark.plans.fragments import monthly_order_stats
+
+    m = monthly_order_stats(spark, sf_dir).select("month", "revenue")
     w = Window.orderBy("month")
     r = (
         m.withColumn("forecast", F.lag("revenue", 12).over(w))

@@ -705,15 +705,13 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (deterministic float accumulation — ordered prefix sums are
     bit-stable across engines, unlike unordered aggregate sums).
     One fact rollup to |months| rows, 1-row stats broadcast, then a
-    driver-light argmax."""
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100))
-        .cast("bigint")
-        .alias("cents")
-    )
+    driver-light argmax.  The month rollup is the canonical
+    ``monthly_order_stats`` fragment (round 9): standalone, Catalyst
+    prunes the frame to exactly the old (month, cents) aggregate; in a
+    batch the monthly family folds the fact once."""
+    from cid_etl_spark.plans.fragments import monthly_order_stats
+
+    monthly = monthly_order_stats(spark, sf_dir).select("month", "cents")
     stats = monthly.agg(
         F.sum("cents").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("m"),
@@ -2460,13 +2458,12 @@ def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     silently misalign the series between engines.  Pinned to a numpy
     centered-moment reference in tests.  Scale: daily rollup is the
     only fact-volume shuffle; everything after runs on the ~thousands
-    of series rows."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "cents"
-        )
-    )
+    of series rows.  The daily rollup is the canonical
+    ``daily_order_cents`` fragment (round 9): in a batch with the runs
+    test, the fact scan + date shuffle runs once for both."""
+    from cid_etl_spark.plans.fragments import daily_order_cents
+
+    daily = daily_order_cents(spark, sf_dir)
     pos = daily.select(
         "cents", F.row_number().over(Window.orderBy("d")).alias("rn")
     )
@@ -2546,13 +2543,13 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single rounded double is identical in both engines.  The
     sequence diagnostic beside the distribution tests (KS/MWU) and the
     memory diagnostic (autocorrelation): trend or regime-switching
-    shows up as too FEW runs."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "cents"
-        )
-    )
+    shows up as too FEW runs.  The daily rollup is the canonical
+    ``daily_order_cents`` fragment (round 9): in a batch with the
+    autocorrelation diagnostic, the fact scan + date shuffle runs
+    once for both."""
+    from cid_etl_spark.plans.fragments import daily_order_cents
+
+    daily = daily_order_cents(spark, sf_dir)
     med = daily.agg(F.median("cents").alias("m"))
     signs = (
         daily.crossJoin(F.broadcast(med))
@@ -2778,6 +2775,103 @@ def run_batch_fragments_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parts.append(
                     F.when(F.col(c).isNull(), F.lit(None)).otherwise(
                         F.format_string("%.4f", F.col(c))
+                    )
+                )
+            else:
+                parts.append(F.col(c).cast("string"))
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10
+        ).cast("bigint")
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(h).cast("bigint").alias("d"),
+        ).collect()[0]
+        return (r["n"], r["d"])
+
+    res = run_batch(spark, sf_dir, members, action=digest)
+    return spark.createDataFrame(
+        [(m, int(res[m][0]), int(res[m][1])) for m in members],
+        "member string, n_rows bigint, digest bigint",
+    )
+
+
+#: Round-9 stats-family batch members and their canonical row
+#: expressions (sorted-column order, matching the Spark digest's
+#: ``sorted(df.columns)``).  Doubles format at %.6f: every member
+#: pre-rounds to ≤6 dp, so the closest-binary value expands to the
+#: same 6-digit decimal in DuckDB's printf and Spark's format_string
+#: (the %.4f tie-free argument of ``_BATCH_MEMBER_CANON``, one scale
+#: wider).  Timestamps/booleans cast to VARCHAR identically in both
+#: engines ('1995-02-01 00:00:00', 'true'/'false').
+_STATS_BATCH_CANON: dict[str, str] = {
+    "autocorrelation_daily_revenue": (
+        "concat_ws('|', printf('%.6f', acf), CAST(lag AS VARCHAR), "
+        "CAST(n_terms AS VARCHAR))"
+    ),
+    "runs_test_daily_revenue": (
+        "concat_ws('|', CAST(n_above AS VARCHAR), CAST(n_below AS VARCHAR), "
+        "CAST(n_runs AS VARCHAR), printf('%.6f', z_score))"
+    ),
+    "cusum_changepoint_orders": (
+        "concat_ws('|', printf('%.6f', cusum_dollars), month, "
+        "printf('%.6f', revenue))"
+    ),
+    "monthly_order_revenue": (
+        # month is a DATE in DuckDB (date_trunc) but a TIMESTAMP in
+        # Spark — canonicalize through TIMESTAMP so both render
+        # 'YYYY-MM-01 00:00:00'
+        "concat_ws('|', CAST(CAST(month AS TIMESTAMP) AS VARCHAR), "
+        "CAST(n_orders AS VARCHAR), printf('%.6f', revenue))"
+    ),
+    "seasonal_naive_mape_orders": (
+        "concat_ws('|', printf('%.6f', bias), printf('%.6f', mape), "
+        "CAST(n_months AS VARCHAR))"
+    ),
+    "anomaly_months_orders": (
+        "concat_ws('|', printf('%.6f', forecast), "
+        "CAST(is_anomaly AS VARCHAR), "
+        "CAST(CAST(month AS TIMESTAMP) AS VARCHAR), "
+        "printf('%.6f', residual), printf('%.6f', residual_z), "
+        "printf('%.6f', revenue))"
+    ),
+}
+
+
+@_register(
+    "run_batch_stats_verified",
+    " UNION ALL ".join(
+        _batch_digest_member_sql(_n, _e) for _n, _e in _STATS_BATCH_CANON.items()
+    ),
+)
+def run_batch_stats_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-green evidence for the round-9 stats-family fragment
+    sharing (VERDICT r8 #4): run the six monthly/daily revenue-series
+    diagnostics THROUGH ``run_batch`` — the shared
+    ``daily_order_cents`` and ``monthly_order_stats``
+    sufficient-statistic frames materialize once each and all six
+    members consume the copies concurrently — and emit one
+    (member, n_rows, digest) row per member, digests being
+    order-insensitive sums of 48-bit md5 prefixes over canonicalized
+    rows.  The oracle recomputes the digests from each member's OWN
+    registered oracle SQL, so a hash match proves end-to-end, under
+    the driver's harness, that folding the fact once per frame is
+    row-identical to six independent runs (sharing must be invisible
+    to results).  Row counts stay ≤ ~25/member (months, lags, 1-row
+    tests), keeping the BIGINT prefix sum far from ANSI overflow."""
+    from cid_etl_spark.plans.batch import run_batch
+
+    members = list(_STATS_BATCH_CANON)
+
+    def digest(df: DataFrame) -> tuple[int, int]:
+        parts = []
+        for c in sorted(df.columns):
+            dt = df.schema[c].dataType.simpleString()
+            if dt == "double":
+                # NULL-safe double canon, as in
+                # run_batch_fragments_verified (ADVICE r7 #2)
+                parts.append(
+                    F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                        F.format_string("%.6f", F.col(c))
                     )
                 )
             else:

@@ -451,3 +451,53 @@ def test_single_member_batch_skips_derived_rollups(spark, tmp_path):
     with fr.batch_context(ctx):
         assert fr.shared_scan(queries[name](spark, SF), "probe") is None
     assert os.listdir(root) == []
+
+
+def test_stats_fragments_prune_to_old_plans(spark):
+    """Round-9 stats-family fragments: standalone consumers of the
+    monthly/daily sufficient-statistic frames must keep their
+    pre-refactor optimized plans EXACTLY — Catalyst prunes the
+    superset frame's unused aggregate expressions back to each
+    member's old inline rollup (canonicalized plan equality, the
+    user_event_seq argument made checkable)."""
+    from cid_etl_spark.operators.aggregates import decimal_sum, money
+    from cid_etl_spark.plans.fragments import (
+        daily_order_cents,
+        monthly_order_stats,
+    )
+    from cid_etl_spark.sources.parquet import load_table
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+
+    o = load_table(spark, SF, "orders")
+    old_monthly_rev = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(decimal_sum("o_totalprice")).alias("revenue"),
+    )
+    old_seasonal = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(money(decimal_sum("o_totalprice")).alias("revenue"))
+    old_cusum = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    old_daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    m = monthly_order_stats(spark, SF)
+    assert canon(m.select("month", "n_orders", "revenue")) == canon(
+        old_monthly_rev
+    )
+    assert canon(m.select("month", "revenue")) == canon(old_seasonal)
+    assert canon(m.select("month", "cents")) == canon(old_cusum)
+    assert canon(daily_order_cents(spark, SF)) == canon(old_daily)

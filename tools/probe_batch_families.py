@@ -42,6 +42,13 @@ LADDERS = {
         "tfidf_top_terms", "bm25_search_documents",
         "ccnet_quality_buckets", "hybrid_rrf_search",
     ],
+    # round 9 (VERDICT r8 #4): the revenue-series stats family over
+    # the daily_order_cents + monthly_order_stats fragments
+    "stats_family_r9": [
+        "autocorrelation_daily_revenue", "runs_test_daily_revenue",
+        "monthly_order_revenue", "seasonal_naive_mape_orders",
+        "anomaly_months_orders", "cusum_changepoint_orders",
+    ],
 }
 
 
