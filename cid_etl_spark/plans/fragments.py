@@ -88,6 +88,14 @@ class BatchContext:
         self.derived_enabled = derived_enabled
         #: fragment name → parquet path (set by run_batch up front).
         self.fragment_paths: dict[str, str] = {}
+        #: fixture table name → catalog name of this batch's BUCKETED
+        #: copy (round 9, VERDICT r8 #5).  Deliberately a separate
+        #: registry from the fragments: a bare-scan "fragment" would
+        #: poison subtree derivation (every query contains its
+        #: table scans), so bucketed facts are declared per-batch by
+        #: join key and substituted at ``load_table`` level instead of
+        #: by plan matching.
+        self.bucketed_tables: dict[str, str] = {}
         self._derived: dict[str, "str | _BuildFailed"] = {}
         self._inflight: dict[str, threading.Event] = {}
         self._lock = threading.Lock()

@@ -501,3 +501,72 @@ def test_stats_fragments_prune_to_old_plans(spark):
     assert canon(m.select("month", "revenue")) == canon(old_seasonal)
     assert canon(m.select("month", "cents")) == canon(old_cusum)
     assert canon(daily_order_cents(spark, SF)) == canon(old_daily)
+
+
+def test_bucketed_facts_colocate_members(spark, tmp_path):
+    """Round-9 bucketed-fact materialization (VERDICT r8 #5): a batch
+    declaring {table: join_key} writes the fact ONCE as a
+    bucketed+sorted catalog table; member plans built under the batch
+    context scan the copy, whose HashPartitioning(key) removes every
+    member-side Exchange on the declared key.  Values must be
+    identical, the catalog must be clean afterwards, and the feature
+    is materialize-mode-only."""
+    import os
+
+    from cid_etl_spark.plans import fragments as fr
+    from cid_etl_spark.plans.batch import _write_bucketed_facts
+    from cid_etl_spark.queries import spark_queries
+
+    queries = spark_queries()
+    members = [
+        "window_topk_orders_per_customer",
+        "lag_order_gaps",
+        "window_running_revenue",
+        "tpch_q13_customer_distribution",
+    ]
+    facts = {"orders": "o_custkey", "customer": "c_custkey"}
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def custkey_exchanges(name):
+        plan = (
+            queries[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line and "custkey" in line
+        )
+
+    # every member shuffles on custkey standalone...
+    assert all(custkey_exchanges(n) >= 1 for n in members)
+    want = {n: rows(queries[n](spark, SF)) for n in members}
+    got = run_batch(spark, SF, members, action=rows, bucket_facts=facts)
+    for n in members:
+        assert got[n] == want[n], f"bucketed batch differs for {n}"
+    # catalog cleaned up
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cid_etl_bucketed_")
+    ]
+    assert leftovers == []
+    # ...and zero custkey exchanges against the bucketed copies
+    scratch = str(tmp_path / "bucket_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=False)
+    tables = _write_bucketed_facts(spark, SF, ctx, facts, scratch)
+    try:
+        with fr.batch_context(ctx):
+            for n in members:
+                assert custkey_exchanges(n) == 0, n
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # cache mode refuses the declaration instead of ignoring it
+    with pytest.raises(ValueError):
+        run_batch(spark, SF, members, mode="cache", bucket_facts=facts)

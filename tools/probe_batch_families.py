@@ -49,6 +49,18 @@ LADDERS = {
         "monthly_order_revenue", "seasonal_naive_mape_orders",
         "anomaly_months_orders", "cusum_changepoint_orders",
     ],
+    # round 9 (VERDICT r8 #5): customer-grain members over a bucketed
+    # orders fact — the honest-negative sf0.1 ladder (BASELINE.md)
+    "custkey_bucketed_r9": [
+        "window_topk_orders_per_customer", "lag_order_gaps",
+        "window_running_revenue",
+    ],
+}
+
+#: ladder name → bucket_facts declaration passed to run_batch for an
+#: EXTRA measured mode (bucketed-fact materialization, round 9)
+LADDER_BUCKET_FACTS = {
+    "custkey_bucketed_r9": {"orders": "o_custkey"},
 }
 
 
@@ -82,11 +94,18 @@ def main() -> None:
             lambda: run_batch(spark, SF, names, max_concurrency=1)
         )
         bat = med3(lambda: run_batch(spark, SF, names))
+        extra = ""
+        facts = LADDER_BUCKET_FACTS.get(ladder)
+        if facts:
+            buck = med3(
+                lambda: run_batch(spark, SF, names, bucket_facts=facts)
+            )
+            extra = f" bucketed_facts={buck:.2f}s"
         print(
             f"LADDER {ladder}: sequential={seq:.2f}s "
             f"materialize_serial={bat_serial:.2f}s "
             f"materialize_concurrent={bat:.2f}s "
-            f"speedup={seq / bat:.2f}x",
+            f"speedup={seq / bat:.2f}x{extra}",
             flush=True,
         )
 
