@@ -171,7 +171,12 @@ _ADAPTIVE_LARGE_BUCKETS = 1024
 #: small for compressed leaf scans (parquet bytes < in-memory bytes),
 #: which errs toward a cheaper tier only within each threshold's ~10×
 #: safety margin; callers at known extreme scale can always pass
-#: ``n_buckets`` explicitly.
+#: ``n_buckets`` explicitly.  Round-9 crossover sweep
+#: (tools/sweep_bucket_tiers.py, table in BASELINE.md): the measured
+#: 8↔32 crossover lies between 12 and 37 MiB of plan estimate — the
+#: 32 MiB TINY edge sits inside the band — and n=32 still beats
+#: n=1024 at 105 MiB (the largest local slice), so 256 MiB stays the
+#: conservative extrapolated hybrid edge.
 _ADAPTIVE_TINY_THRESHOLD = 32 << 20
 _ADAPTIVE_SIZE_THRESHOLD = 256 << 20
 

@@ -76,7 +76,20 @@ BATCHES = {
         "event_transition_matrix", "top_session_paths",
         "sessionize_events", "cosine_topk_lsh", "cosine_topk_lsh_probeall",
     ],
+    # round 9: the revenue-series stats family over the
+    # daily_order_cents + monthly_order_stats fragments
+    "run_batch_stats": [
+        "autocorrelation_daily_revenue", "runs_test_daily_revenue",
+        "monthly_order_revenue", "seasonal_naive_mape_orders",
+        "anomaly_months_orders", "cusum_changepoint_orders",
+    ],
 }
+
+#: Round-over-round longest-task drift tolerated before the guard
+#: reports the query (VERDICT r8 #6): walls band ±40% across sessions
+#: on this host, but the longest single task is layout-bound and
+#: stable — a >1.5× jump means the plan's task decomposition changed.
+DRIFT_BOUND = 1.5
 
 
 def generate_sf1(spark) -> None:
@@ -217,19 +230,48 @@ def main() -> int:
         if r["longest_task_sec"] > TASK_BOUND_SEC
         or r["max_over_median_task"] > SKEW_BOUND
     )
+    # Round-over-round drift guard (VERDICT r8 #6): diff the fresh
+    # longest-task numbers against the PREVIOUS committed BENCH_SF1
+    # before overwriting it — the round summary fails on either a
+    # bound violation or a >DRIFT_BOUND longest-task jump.
+    drift: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prev = json.load(f).get("queries", {})
+            for n, r in results.items():
+                old = prev.get(n, {}).get("longest_task_sec")
+                if old and old > 0.25 and r["longest_task_sec"] > DRIFT_BOUND * old:
+                    drift[n] = {
+                        "prev_longest_task_sec": old,
+                        "longest_task_sec": r["longest_task_sec"],
+                        "ratio": round(r["longest_task_sec"] / old, 2),
+                    }
+        except Exception:
+            pass
     payload = {
         "sf": 1.0,
         "fixture": SF1_DIR,
         "task_bound_sec": TASK_BOUND_SEC,
         "skew_bound": SKEW_BOUND,
+        "drift_bound": DRIFT_BOUND,
         "queries": results,
         "violations": violations,
+        "longest_task_drift": drift,
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=2, sort_keys=True)
         f.write("\n")
-    print(json.dumps({"violations": violations, "n": len(results)}))
-    return 1 if violations else 0
+    print(
+        json.dumps(
+            {
+                "violations": violations,
+                "longest_task_drift": sorted(drift),
+                "n": len(results),
+            }
+        )
+    )
+    return 1 if violations or drift else 0
 
 
 if __name__ == "__main__":
