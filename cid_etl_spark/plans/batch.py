@@ -65,6 +65,8 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "unigram_logprob_score": ("token_stream",),
     "inverted_index_lookup": ("token_stream",),
     "oov_rate_by_split": ("token_stream",),
+    "zipf_fit_tokens": ("token_stream",),
+    "source_similarity_weighted_jaccard": ("token_stream",),
     "tfidf_top_terms": ("doc_term_counts",),
     "bm25_search_documents": ("doc_term_counts",),
     "ccnet_quality_buckets": ("doc_term_counts",),

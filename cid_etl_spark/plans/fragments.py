@@ -214,16 +214,21 @@ def _materialized(
 
 def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical exploded token stream: one row per (document,
-    token occurrence), with the language tag carried (it is
-    functionally dependent on doc_id, so no consumer's grain changes
-    by selecting it away).  Every lexical query — vocabulary sweeps,
-    TF-IDF, BM25, CCNet scoring — starts here; in a batch this is the
-    single explode they all share."""
+    token occurrence), with the language and source tags carried
+    (both functionally dependent on doc_id, so no consumer's grain
+    changes by selecting them away — round 9 added ``source`` after
+    the mechanical subtree sweep found the source-similarity query
+    re-deriving the same explode with only the companion column
+    differing).  Every lexical query — vocabulary sweeps, TF-IDF,
+    BM25, CCNet scoring, the Zipf diagnostic — starts here; in a
+    batch this is the single explode they all share."""
     m = _materialized(spark, sf_dir, "token_stream")
     if m is not None:
         return m
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    return d.select(
+        "doc_id", "lang", "source", F.explode(tokens("text")).alias("tok")
+    )
 
 
 def user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:

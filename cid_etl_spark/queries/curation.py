@@ -1962,10 +1962,15 @@ def source_similarity_weighted_jaccard(spark: SparkSession, sf_dir: str) -> Data
     overlap, like the shingle inverted index), Σmax folds to
     totₐ+tot_b−Σmin so no outer join is needed, and the per-source
     totals broadcast back over the pair rollup.  The final top-10 is
-    a heap, not a sort."""
-    d = load_table(spark, sf_dir, "documents")
+    a heap, not a sort.  The explode is the canonical ``token_stream``
+    fragment (round 9: the subtree sweep caught this query re-deriving
+    it with only the companion column differing; standalone, Catalyst
+    prunes the stream back to (source, tok))."""
+    from cid_etl_spark.plans.fragments import token_stream
+
     tf = (
-        d.select("source", F.explode(tokens("text")).alias("token"))
+        token_stream(spark, sf_dir)
+        .select("source", F.col("tok").alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -148,10 +148,11 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), a top-1000 heap (TakeOrderedAndProject — never a global
     sort), and a single-row slope/R² aggregate; regr_slope is spelled
     covar_pop/var_pop so both engines share the arithmetic."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens("text")).alias("token")).filter(
-        F.col("token") != ""
-    )
+    from cid_etl_spark.plans.fragments import token_stream
+
+    tok = token_stream(spark, sf_dir).select(
+        F.col("tok").alias("token")
+    ).filter(F.col("token") != "")
     c = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("freq"))
     ranked = (
         c.select("token", "freq")

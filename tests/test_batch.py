@@ -570,3 +570,33 @@ def test_bucketed_facts_colocate_members(spark, tmp_path):
     # cache mode refuses the declaration instead of ignoring it
     with pytest.raises(ValueError):
         run_batch(spark, SF, members, mode="cache", bucket_facts=facts)
+
+
+def test_token_stream_extension_prunes_to_old_plans(spark):
+    """Round-9 subtree sweep follow-up: token_stream gained the
+    ``source`` tag so the source-similarity and Zipf queries route
+    through it — every consumer (old lexical and new) must keep its
+    pre-extension optimized plan exactly via column pruning."""
+    from cid_etl_spark.functions.text import tokens
+    from cid_etl_spark.plans.fragments import token_stream
+    from cid_etl_spark.sources.parquet import load_table
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+
+    d = load_table(spark, SF, "documents")
+    ts = token_stream(spark, SF)
+    old_lex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    old_src = d.select("source", F.explode(tokens("text")).alias("token"))
+    old_zipf = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    assert canon(ts.select("doc_id", "lang", "tok")) == canon(old_lex)
+    assert canon(
+        ts.select("source", F.col("tok").alias("token"))
+    ) == canon(old_src)
+    assert canon(
+        ts.select(F.col("tok").alias("token")).filter(F.col("token") != "")
+    ) == canon(old_zipf)
