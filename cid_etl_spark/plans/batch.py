@@ -39,6 +39,7 @@ FRAGMENTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "signed_embeddings": _frag.signed_embeddings,
     "daily_order_cents": _frag.daily_order_cents,
     "monthly_order_stats": _frag.monthly_order_stats,
+    "bm25_scores": _frag.bm25_scores,
 }
 
 #: Fragment → fragments it is built FROM (one level here; kept as data
@@ -50,6 +51,7 @@ FRAGMENT_PARENTS: dict[str, tuple[str, ...]] = {
     "signed_embeddings": (),
     "daily_order_cents": (),
     "monthly_order_stats": (),
+    "bm25_scores": ("doc_term_counts",),
 }
 
 #: Registered query name → fragments its plan consumes directly.
@@ -68,9 +70,9 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "zipf_fit_tokens": ("token_stream",),
     "source_similarity_weighted_jaccard": ("token_stream",),
     "tfidf_top_terms": ("doc_term_counts",),
-    "bm25_search_documents": ("doc_term_counts",),
+    "bm25_search_documents": ("bm25_scores",),
     "ccnet_quality_buckets": ("doc_term_counts",),
-    "hybrid_rrf_search": ("doc_term_counts",),
+    "hybrid_rrf_search": ("bm25_scores",),
     "event_transition_matrix": ("user_event_seq",),
     "top_session_paths": ("user_event_seq",),
     "sessionize_events": ("user_event_seq",),

@@ -294,6 +294,46 @@ def signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical BM25 score table for the engine's fixed query
+    terms ('data', 'query', 'index'; k1=1.2, b=0.75): ``(doc_id,
+    score)`` with the score rounded once to 4 dp — exactly the table
+    both retrieval queries rank (BM25 top-20 report, hybrid RRF's
+    lexical channel).  Round 9: the mechanical subtree sweep found the
+    whole four-rollup scoring pipeline duplicated between them (their
+    plans differ only in the final alias, which canonicalization
+    strips); as a CHILD fragment of :func:`doc_term_counts` it
+    computes once per batch and both channels rank the copy.  Corpus
+    stats (N, avgdl) fold to one row and per-term dfs to a
+    query-sized table, both broadcast — nothing fact-sized re-joins."""
+    m = _materialized(spark, sf_dir, "bm25_scores")
+    if m is not None:
+        return m
+    dtc = doc_term_counts(spark, sf_dir)
+    dl = dtc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        F.col("n").cast("double").alias("tf"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("score"))
+    )
+
+
 def daily_order_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical daily-revenue series: one row per order date with
     the day's revenue as EXACT integer cents (round 9, VERDICT r8 #4

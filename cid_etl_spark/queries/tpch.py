@@ -1261,31 +1261,14 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares one explode+shuffle; standalone, Catalyst still pushes the
     query-term filter through the rollup's grouping key to the scan —
     at 100 TB that filter is the difference between shuffling three
-    terms' postings and the whole token stream."""
-    from cid_etl_spark.plans.fragments import doc_term_counts
+    terms' postings and the whole token stream.  Round 9: the whole
+    scoring pipeline is the canonical ``bm25_scores`` child fragment,
+    shared with the hybrid RRF lexical channel in batches."""
+    from cid_etl_spark.plans.fragments import bm25_scores
 
-    dtc = doc_term_counts(spark, sf_dir)
-    dl = dtc.groupBy("doc_id").agg(
-        F.sum("n").cast("double").alias("len")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("len").alias("avgdl"),
-    )
-    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
-        "doc_id", F.col("tok").alias("term"), F.col("n").cast("double").alias("tf")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    score = idf * F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
-    )
     return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        bm25_scores(spark, sf_dir)
+        .select("doc_id", F.col("score").alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
@@ -1358,31 +1341,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     but a global single-partition sort of every document/embedding at
     100× (VERDICT r5 flag #5); the total order (score desc, doc_id)
     makes heap-cut-then-rank bit-identical to rank-then-filter."""
-    from cid_etl_spark.plans.fragments import doc_term_counts
+    from cid_etl_spark.plans.fragments import bm25_scores
 
     e = load_table(spark, sf_dir, "embeddings")
-    # lexical channel — same shape as bm25_search_documents, built on
-    # the same canonical shared rollup (plans/fragments.py)
-    dtc = doc_term_counts(spark, sf_dir)
-    dl = dtc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("len"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("len").alias("avgdl")
-    )
-    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
-        "doc_id", F.col("tok").alias("term"), F.col("n").cast("double").alias("tf")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    score = idf * F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
-    )
-    bm = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score), 4).alias("score"))
-    )
+    # lexical channel — the canonical bm25_scores child fragment,
+    # shared with bm25_search_documents in batches (round 9)
+    bm = bm25_scores(spark, sf_dir)
     wb = Window.orderBy(F.desc("score"), "doc_id")
     brank = (
         bm.orderBy(F.desc("score"), "doc_id")

@@ -600,3 +600,52 @@ def test_token_stream_extension_prunes_to_old_plans(spark):
     assert canon(
         ts.select(F.col("tok").alias("token")).filter(F.col("token") != "")
     ) == canon(old_zipf)
+
+
+def test_bm25_scores_fragment_prunes_to_old_plan(spark):
+    """Round-9 subtree sweep follow-up #2: the BM25 score table was
+    duplicated between the retrieval report and the hybrid RRF lexical
+    channel (identical up to the final alias); both now build through
+    the ``bm25_scores`` child fragment, and the report's standalone
+    optimized plan must equal its pre-refactor inline form exactly."""
+    from cid_etl_spark.plans.fragments import bm25_scores, doc_term_counts
+    from cid_etl_spark.queries import spark_queries
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+
+    dtc = doc_term_counts(spark, SF)
+    dl = dtc.groupBy("doc_id").agg(F.sum("n").cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = dtc.filter(F.col("tok").isin("data", "query", "index")).select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        F.col("n").cast("double").alias("tf"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    old = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+    new = spark_queries()["bm25_search_documents"](spark, SF)
+    assert canon(new) == canon(old)
+    # and the fragment itself is the un-cut score table
+    assert sorted(bm25_scores(spark, SF).columns) == ["doc_id", "score"]
