@@ -30,21 +30,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GRAIN_NODES = {"Aggregate", "Window", "Generate"}
 
 
-def subtree_keys(root) -> dict[str, str]:
-    """{canonical-subtree-string: nodeName} for every grain node in
-    *root*, deepest first (a node records its OWN subtree; parents
-    above it record theirs separately, so nesting is visible)."""
+def subtree_keys(root, declared_plans) -> tuple[dict[str, str], set[str]]:
+    """Walk *root* and return ``({canonical-subtree: nodeName}, {hit
+    fragment names})``.  A node that ``sameResult``s a DECLARED
+    fragment plan is credited by name and NOT descended into — its
+    internal Aggregates/Windows/Generates are already shared through
+    the fragment, so reporting them as candidates would be noise (the
+    first sweep listed token_stream's explode and bm25_scores'
+    internal rollups as 'undeclared')."""
     out: dict[str, str] = {}
+    hits: set[str] = set()
     stack = [root]
     while stack:
         node = stack.pop()
+        frag = next(
+            (n for n, fp in declared_plans.items() if node.sameResult(fp)),
+            None,
+        )
+        if frag is not None:
+            hits.add(frag)
+            continue
         name = node.nodeName()
         if name in GRAIN_NODES:
             out[node.canonicalized().toString()] = name
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
-    return out
+    return out, hits
 
 
 def main() -> None:
@@ -60,42 +72,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = spark_queries()
 
-    declared: dict[str, str] = {}
-    for fname, builder in FRAGMENTS.items():
-        plan = builder(spark, args.sf)._jdf.queryExecution().analyzed()
-        declared[plan.canonicalized().toString()] = fname
+    declared_plans = {
+        fname: builder(spark, args.sf)._jdf.queryExecution().analyzed()
+        for fname, builder in FRAGMENTS.items()
+    }
 
     by_subtree: dict[str, set[str]] = defaultdict(set)
     kinds: dict[str, str] = {}
+    frag_consumers: dict[str, set[str]] = defaultdict(set)
     for qname, fn in sorted(queries.items()):
         try:
             root = fn(spark, args.sf)._jdf.queryExecution().analyzed()
         except Exception as exc:  # streaming staging etc.
             print(f"# skip {qname}: {type(exc).__name__}", flush=True)
             continue
-        for key, kind in subtree_keys(root).items():
+        keys, hits = subtree_keys(root, declared_plans)
+        for frag in hits:
+            frag_consumers[frag].add(qname)
+        for key, kind in keys.items():
             by_subtree[key].add(qname)
             kinds[key] = kind
 
-    shared = {
-        k: qs for k, qs in by_subtree.items() if len(qs) >= 2
-    }
-    n_declared = 0
-    candidates = []
-    for key, qs in sorted(shared.items(), key=lambda kv: -len(kv[1])):
-        if key in declared:
-            n_declared += 1
-            print(f"DECLARED {declared[key]}: {len(qs)} consumers "
-                  f"{sorted(qs)}")
-        else:
-            candidates.append((key, qs))
+    for fname in FRAGMENTS:
+        qs = frag_consumers.get(fname, set())
+        print(f"DECLARED {fname}: {len(qs)} consumers {sorted(qs)}")
+    candidates = sorted(
+        ((k, qs) for k, qs in by_subtree.items() if len(qs) >= 2),
+        key=lambda kv: -len(kv[1]),
+    )
     for key, qs in candidates:
         digest = hashlib.sha1(key.encode()).hexdigest()[:10]
         head = key.splitlines()[0][:100]
         print(f"CANDIDATE {kinds[key]} {digest} ({len(qs)} queries): "
               f"{sorted(qs)}\n  {head}")
-    print(f"# {len(shared)} shared grain subtrees: {n_declared} declared, "
-          f"{len(candidates)} undeclared candidates")
+    print(f"# {len(FRAGMENTS)} declared fragments, "
+          f"{len(candidates)} undeclared shared candidates")
 
 
 if __name__ == "__main__":
