@@ -40,6 +40,7 @@ FRAGMENTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_order_cents": _frag.daily_order_cents,
     "monthly_order_stats": _frag.monthly_order_stats,
     "bm25_scores": _frag.bm25_scores,
+    "doc_token_seq": _frag.doc_token_seq,
 }
 
 #: Fragment → fragments it is built FROM (one level here; kept as data
@@ -52,6 +53,7 @@ FRAGMENT_PARENTS: dict[str, tuple[str, ...]] = {
     "daily_order_cents": (),
     "monthly_order_stats": (),
     "bm25_scores": ("doc_term_counts",),
+    "doc_token_seq": (),
 }
 
 #: Registered query name → fragments its plan consumes directly.
@@ -86,6 +88,8 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "seasonal_naive_mape_orders": ("monthly_order_stats",),
     "anomaly_months_orders": ("monthly_order_stats",),
     "cusum_changepoint_orders": ("monthly_order_stats",),
+    "repeated_spans_documents": ("doc_token_seq",),
+    "cross_split_contamination": ("doc_token_seq",),
 }
 
 

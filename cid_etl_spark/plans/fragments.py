@@ -294,6 +294,36 @@ def signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical POSITIONAL token sequence: one row per token
+    occurrence with its 0-based position and the next 1..7 tokens as
+    lead columns — one doc-keyed window pass carrying every gram width
+    the span/contamination family needs (round 9, the subtree sweep's
+    last genuine share: the 5-gram dup-span scan and the 8-gram
+    cross-split audit each re-ran this explode + window sort).  All
+    leads ride ONE window spec, so the pass costs one per-doc sort
+    however many widths consumers want; standalone, Catalyst prunes
+    unused leads (the :func:`user_event_seq` argument).  Distinct from
+    :func:`token_stream` on purpose: this grain needs positions and
+    the non-empty-text gate both span consumers share."""
+    from pyspark.sql.window import Window
+
+    m = _materialized(spark, sf_dir, "doc_token_seq")
+    if m is not None:
+        return m
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tk = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return tk.select(
+        "doc_id",
+        "pos",
+        "tok",
+        *[F.lead("tok", i).over(w).alias(f"lead{i}") for i in range(1, 8)],
+    )
+
+
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical BM25 score table for the engine's fixed query
     terms ('data', 'query', 'index'; k1=1.2, b=0.75): ``(doc_id,

@@ -348,6 +348,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # scratch-contract fix): the digest row re-proves member results
     # bit-identical through run_batch under the driver's harness
     "run_batch_fragments_verified",
+    # doc_token_seq fragment consumers (plans changed benignly — the
+    # shared lead-window pass replaces per-query window builds and
+    # drops a redundant pre-window Project; outputs must not change)
+    "repeated_spans_documents", "cross_split_contamination",
 )
 
 

@@ -1143,27 +1143,21 @@ def repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed window pass, one gram-keyed count, one gram-keyed join
     back, one doc-keyed island rollup — all linear in corpus size, the
     100 TB-safe alternative to building an actual distributed suffix
-    array."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim("text")) > 0
-    )
-    tk = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p0")
+    array.  The positional explode + lead window is the canonical
+    ``doc_token_seq`` fragment (round 9): in a batch with the
+    cross-split audit the per-doc window sort runs once for both;
+    standalone, Catalyst prunes the unused lead widths."""
+    from cid_etl_spark.plans.fragments import doc_token_seq
+
+    seq = doc_token_seq(spark, sf_dir)
     g = (
-        tk.select(
+        seq.select(
             "doc_id",
-            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
             F.concat_ws(
-                " ",
-                "tok",
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-                F.lead("tok", 3).over(w),
-                F.lead("tok", 4).over(w),
+                " ", "tok", "lead1", "lead2", "lead3", "lead4"
             ).alias("gram"),
-            F.lead("tok", 4).over(w).alias("l4"),
+            F.col("lead4").alias("l4"),
         )
         .where(F.col("l4").isNotNull())
         .drop("l4")
@@ -1250,36 +1244,28 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     out at most #splits rows per gram, so cost stays linear in
     distinct-gram volume at any corpus size, never pairwise in
     documents."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim("text")) > 0
-    )
+    # The positional explode + lead window is the canonical
+    # doc_token_seq fragment (round 9); the split label is a pure
+    # function of doc_id, recomputed above the shared pass — one
+    # plan-shape change (split moves above the window), values
+    # identical, driver re-verified in the r9 window.
+    from cid_etl_spark.plans.fragments import doc_token_seq
+
     h = F.md5(F.col("doc_id").cast("string"))
     split = (
         F.when(h < "1999999999999999999999999999999999", "val")
         .when(h < "3333333333333333333333333333333333", "test")
         .otherwise("train")
     )
-    tk = d.select(
-        "doc_id",
-        split.alias("split"),
-        F.posexplode(tokens("text")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = doc_token_seq(spark, sf_dir)
     g = (
-        tk.select(
-            "split",
+        seq.select(
+            split.alias("split"),
             F.concat_ws(
-                " ",
-                "tok",
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-                F.lead("tok", 3).over(w),
-                F.lead("tok", 4).over(w),
-                F.lead("tok", 5).over(w),
-                F.lead("tok", 6).over(w),
-                F.lead("tok", 7).over(w),
+                " ", "tok", "lead1", "lead2", "lead3", "lead4",
+                "lead5", "lead6", "lead7",
             ).alias("gram"),
-            F.lead("tok", 7).over(w).alias("l7"),
+            F.col("lead7").alias("l7"),
         )
         .where(F.col("l7").isNotNull())
         .drop("l7")
