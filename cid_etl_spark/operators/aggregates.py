@@ -191,21 +191,39 @@ _ADAPTIVE_SIZE_THRESHOLD = 256 << 20
 #: token-per-row fan-outs at the compressed-to-exploded boundary;
 #: callers exploding far wider than that at known scale should pin
 #: ``n_buckets`` explicitly (speed-only either way — tier choice never
-#: affects values).
+#: affects values).  Applied PER Generate node (ADVICE r9 #4: a flat
+#: one-shot 16× still undershot stacked explodes — e.g. tokens then
+#: character n-grams multiply fan-outs), so k nested explodes scale
+#: the estimate by 16^k; sibling Generates in different branches also
+#: each count, over-scaling only toward the safe (bigger-sort) tier.
 _GENERATE_FANOUT_ALLOWANCE = 16
 
 
-def _contains_generate(plan) -> bool:
-    """True when the JVM logical *plan* contains a Generate node."""
+def _generate_allowance(plan, est: int) -> int:
+    """Fan-out multiplier for the Generate nodes in the JVM logical
+    *plan*: ``_GENERATE_FANOUT_ALLOWANCE ** n_generates``, with two
+    short-circuits that keep the py4j plan walk off the hot path
+    (ADVICE r9 #4 — the traversal is a driver-side JVM round-trip per
+    node, paid on every estimate call): plans whose base estimate is
+    already past the LARGE-tier threshold skip the walk entirely (the
+    allowance can only push the tier UP, and it is already maximal),
+    and the walk stops as soon as the accumulated multiplier pushes
+    *est* past that same threshold — further Generate nodes cannot
+    change the chosen tier."""
+    if est > _ADAPTIVE_SIZE_THRESHOLD:
+        return 1
+    mult = 1
     stack = [plan]
     while stack:
         node = stack.pop()
         if node.nodeName() == "Generate":
-            return True
+            mult *= _GENERATE_FANOUT_ALLOWANCE
+            if est * mult > _ADAPTIVE_SIZE_THRESHOLD:
+                return mult
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
-    return False
+    return mult
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -219,10 +237,11 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     the plan actually READS, which is the quantity that grows 100× at
     100×, while the top estimate keeps credit for aggregate shrinkage
     in join-free plans.  Explode-fed plans scale the bound up by
-    :data:`_GENERATE_FANOUT_ALLOWANCE` (neither component sees
-    generator fan-out, so both undershoot — the error direction that
-    lands big inputs in the small-sort tiers).  None when the estimate
-    is unavailable (the caller then assumes BIG: the safe tier at
+    :data:`_GENERATE_FANOUT_ALLOWANCE` per Generate node — see
+    :func:`_generate_allowance` (neither component sees generator
+    fan-out, so both undershoot — the error direction that lands big
+    inputs in the small-sort tiers).  None when the estimate is
+    unavailable (the caller then assumes BIG: the safe tier at
     scale)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
@@ -233,9 +252,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
             for i in range(leaves.size())
         )
         est = min(top, leaf_sum)
-        if _contains_generate(plan):
-            est *= _GENERATE_FANOUT_ALLOWANCE
-        return est
+        return est * _generate_allowance(plan, est)
     except Exception:
         return None
 

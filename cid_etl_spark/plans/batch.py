@@ -450,29 +450,59 @@ def _write_bucketed_facts(
     """Write each declared fact ONCE as a bucketed+sorted external
     table under the batch scratch and record it on *ctx* so member
     ``load_table`` calls scan the copy.  Returns the catalog names for
-    cleanup.  The copy is written from the PLAIN scan (the context's
-    ``bucketed_tables`` entry is only set afterwards, so the write
-    itself never recurses into a substitution)."""
+    cleanup.  The copy is written from the PLAIN un-spread scan (the
+    context's ``bucketed_tables`` entry is only set afterwards, so the
+    write itself never recurses into a substitution), hash-repartitioned
+    to exactly ``n`` partitions on the bucket key before the write:
+    ``repartition(n, key)`` and ``bucketBy(n, key)`` use the same
+    murmur3 ``pmod`` assignment, so every writer task holds exactly one
+    bucket and each bucket lands as ONE sorted file (ADVICE r9 #3 — a
+    spread/round-robin input made every task emit a file per bucket,
+    and multi-file buckets make Spark drop the ``sortBy`` metadata at
+    read time, keeping only the hash-partitioning benefit).  With
+    single-file buckets, sessions that enable
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (off by
+    default since SPARK-28595 precisely because multi-file buckets
+    break it) additionally elide the SMJ Sort on the bucketed sides —
+    pinned by ``test_bucketed_facts_single_sorted_file_per_bucket``.
+
+    If any write fails partway, the tables already created are dropped
+    here before the exception propagates (ADVICE r9 #1 — the caller's
+    ``tables`` list was never assigned on a partial failure, leaking
+    catalog entries that point at the deleted scratch dir for the rest
+    of the session)."""
     import uuid
+
+    from pyspark.sql import functions as F
 
     from cid_etl_spark.sources.parquet import load_table
 
     default_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    created: list[str] = []
-    for tbl, spec in bucket_facts.items():
-        key, n = (spec, default_n) if isinstance(spec, str) else spec
-        tname = f"cid_etl_bucketed_{uuid.uuid4().hex[:12]}_{tbl}"
-        (
-            load_table(spark, sf_dir, tbl)
-            .write.bucketBy(n, key)
-            .sortBy(key)
-            .option("path", os.path.join(scratch, f"bucketed_{tbl}"))
-            .mode("overwrite")
-            .saveAsTable(tname)
-        )
-        ctx.bucketed_tables[tbl] = tname
-        created.append(tname)
-    return created
+    created: list[tuple[str, str]] = []
+    try:
+        for tbl, spec in bucket_facts.items():
+            key, n = (spec, default_n) if isinstance(spec, str) else spec
+            tname = f"cid_etl_bucketed_{uuid.uuid4().hex[:12]}_{tbl}"
+            (
+                load_table(spark, sf_dir, tbl, spread=False)
+                .repartition(n, F.col(key))
+                .write.bucketBy(n, key)
+                .sortBy(key)
+                .option("path", os.path.join(scratch, f"bucketed_{tbl}"))
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+            ctx.bucketed_tables[tbl] = tname
+            created.append((tbl, tname))
+    except BaseException:
+        for tbl, tname in created:
+            ctx.bucketed_tables.pop(tbl, None)
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            except Exception:
+                pass
+        raise
+    return [tname for _, tname in created]
 
 
 def _run_materialized(

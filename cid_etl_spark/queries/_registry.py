@@ -321,37 +321,74 @@ _ROUND8_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the round-9 driver window hash-verified
+#: (CORRECTNESS_r09.json, 50/50 green): the two batch digest rows (the
+#: only plans r9 changed), the doc_token_seq fragment consumers, and
+#: the 46-row fill that cleared the whole r3-latest tail.
+_ROUND9_VERIFIED: frozenset[str] = frozenset(
+    {
+        "bigram_lm_score", "binaryfile_ingest_roundtrip",
+        "bpe_train_rounds", "char_entropy_documents",
+        "cogroup_click_purchase", "cross_split_contamination",
+        "csv_plain_scan_fragment", "dedup_rate_by_source",
+        "degree_assortativity_copurchase", "embedding_norms_arrow",
+        "ewma_user_values", "hard_negative_mining",
+        "kcore_copurchase", "kmeans_cluster_assign",
+        "lpa_communities_copurchase", "media_real_png_decode",
+        "media_real_wav_decode", "media_video_frames",
+        "minhash_lsh_verified", "neardup_curation_pipeline",
+        "ngram_containment_pairs", "pagerank_copurchase",
+        "pareto_frontier_orders", "phash_image_neardup",
+        "quality_classifier_score", "recursive_month_spine",
+        "recursive_supplier_tree", "repeated_spans_documents",
+        "run_batch_fragments_verified", "run_batch_stats_verified",
+        "simhash_pairs_verified", "sql_udf_cid_functions",
+        "tpch_q11_important_stock", "tpch_q12_late_shipments",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
+        "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
+        "tpch_q21_waiting_orders", "tpch_q22_global_sales",
+        "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "triangle_census_copurchase",
+        "winnowing_fingerprints_verified",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
 _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
-    _ROUND7_VERIFIED, _ROUND8_VERIFIED,
+    _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
 )
 
-#: Round-9 driver window (VERDICT r8 #1: spend essentially ALL
-#: non-priority slots on the freshness backlog).  The only plans that
-#: change this round are the batch machinery's (stats-family derived
-#: rollup sharing + bucketed-fact materialization live INSIDE
-#: ``run_batch``'s thread-scoped context, so standalone member plans
-#: are untouched by construction) — the batch digest row is the one
-#: changed-plan re-verify.  The other 49 slots fall through to the
+#: Round-10 driver window.  The round is pure consolidation (the four
+#: ADVICE r9 items): the only production-plan changes are INSIDE
+#: ``run_batch``'s machinery — bucketed-fact copies now written
+#: one-sorted-file-per-bucket with partial-failure catalog cleanup
+#: (plans/batch.py) — so the two batch digest rows are the changed-plan
+#: re-verifies.  The per-node Generate fan-out allowance
+#: (operators/aggregates.py) can only move ADAPTIVE TIER choice on
+#: stacked-explode inputs (value-neutral by the monotone-bucket
+#: argument); the two document-side adaptive-tier consumers ride along
+#: as belt-and-braces.  The other 46 slots fall through to the
 #: freshness rule in ``_ordered_names``: oldest-driver-green first,
-#: which clears the ENTIRE r3-latest tail (46 oracled rows) this
-#: round; after r9 no oracled row's latest driver green predates r4.
+#: which clears the ENTIRE remaining r4-latest tail (43 oracled rows,
+#: enumerated in SURVEY §7 round-9 notes); after r10 no oracled row's
+#: latest driver green predates round 5.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # NEW row: the stats-family fragment batch digest (certifies the
-    # r9 daily/monthly sufficient-statistic sharing end-to-end)
-    "run_batch_stats_verified",
-    # batch machinery changed (derived stats rollups, bucketed facts,
-    # scratch-contract fix): the digest row re-proves member results
-    # bit-identical through run_batch under the driver's harness
+    # batch machinery changed (ADVICE r9 #1/#3: bucketed-fact write
+    # layout + failure cleanup): the digest rows re-prove member
+    # results bit-identical through run_batch under the driver harness
     "run_batch_fragments_verified",
-    # doc_token_seq fragment consumers (plans changed benignly — the
-    # shared lead-window pass replaces per-query window builds and
-    # drops a redundant pre-window Project; outputs must not change)
-    "repeated_spans_documents", "cross_split_contamination",
+    "run_batch_stats_verified",
+    # adaptive-tier consumers over documents (ADVICE r9 #4: the
+    # Generate allowance is now per-node; tier flips are value-neutral
+    # but these two re-verify under the driver anyway)
+    "pack_sequences_documents", "contiguous_ids_documents",
 )
 
 

@@ -649,3 +649,122 @@ def test_bm25_scores_fragment_prunes_to_old_plan(spark):
     assert canon(new) == canon(old)
     # and the fragment itself is the un-cut score table
     assert sorted(bm25_scores(spark, SF).columns) == ["doc_id", "score"]
+
+
+def test_bucketed_facts_single_sorted_file_per_bucket(spark, tmp_path):
+    """ADVICE r9 #3: the bucketed copy must land as ONE sorted file per
+    bucket — a spread (round-robin) input made every writer task emit a
+    file per bucket, and Spark drops the ``sortBy`` metadata at read
+    time when a bucket spans multiple files, leaving only the
+    hash-partitioning benefit.  ``repartition(n, key)`` and
+    ``bucketBy(n, key)`` share the murmur3 pmod assignment, so each
+    writer task holds exactly one bucket."""
+    import os
+    import re
+
+    from cid_etl_spark.plans import fragments as fr
+    from cid_etl_spark.plans.batch import _write_bucketed_facts
+
+    scratch = str(tmp_path / "bucket_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=False)
+    tables = _write_bucketed_facts(
+        spark, SF, ctx, {"orders": ("o_custkey", 8)}, scratch
+    )
+    try:
+        files = [
+            f
+            for f in os.listdir(os.path.join(scratch, "bucketed_orders"))
+            if f.endswith(".parquet")
+        ]
+        # bucket id is the _NNNNN suffix in bucketed part-file names
+        buckets = [re.search(r"_(\d{5})\.", f).group(1) for f in files]
+        assert len(buckets) == len(set(buckets)), (
+            f"multi-file buckets: {sorted(files)}"
+        )
+        # every row landed in its murmur3-pmod bucket: the copy is
+        # value-identical and the bucketed scan stays exchange-free
+        # (covered by test_bucketed_facts_colocate_members); here we
+        # additionally pin that ALL rows survived the repartition
+        assert (
+            spark.table(tables[0]).count()
+            == spark.read.parquet(os.path.join(SF, "orders.parquet")).count()
+        )
+        # ...and that the sortBy metadata now actually PAYS: with
+        # single-file buckets the scan can report its output ordering
+        # (spark.sql.legacy.bucketedTableScan.outputOrdering, off by
+        # default since SPARK-28595 precisely because multi-file
+        # buckets break it), so a sort-merge join on the bucket key
+        # elides BOTH the Exchange and the Sort on the bucketed sides
+        tables += _write_bucketed_facts(
+            spark, SF, ctx, {"customer": ("c_custkey", 8)}, scratch
+        )
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.legacy.bucketedTableScan.outputOrdering",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+            o, c = spark.table(tables[0]), spark.table(tables[1])
+            j = o.join(c, o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "c_name"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange hashpartitioning") == 0
+            assert plan.count("Sort [") == 0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_facts_partial_failure_cleans_catalog(spark, tmp_path):
+    """ADVICE r9 #1: when a later fact's write fails, the tables
+    already created must be dropped (and popped from the context)
+    before the exception propagates — previously the caller's
+    ``tables`` list was never assigned on partial failure, leaking
+    catalog entries that pointed at the deleted scratch dir for the
+    session lifetime."""
+    import os
+
+    from cid_etl_spark.plans import fragments as fr
+    from cid_etl_spark.plans.batch import _write_bucketed_facts
+
+    scratch = str(tmp_path / "bucket_scratch")
+    os.makedirs(scratch)
+    ctx = fr.BatchContext(spark, SF, scratch, derived_enabled=False)
+    before = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cid_etl_bucketed_")
+    }
+    with pytest.raises(Exception):
+        _write_bucketed_facts(
+            spark,
+            SF,
+            ctx,
+            # dict order: orders succeeds, then the bogus key fails
+            {"orders": "o_custkey", "part": "no_such_column"},
+            scratch,
+        )
+    after = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cid_etl_bucketed_")
+    }
+    assert after == before, f"leaked catalog tables: {after - before}"
+    assert ctx.bucketed_tables == {}

@@ -408,6 +408,39 @@ def test_plan_size_scales_up_for_generate(spark):
     assert grown % _GENERATE_FANOUT_ALLOWANCE == 0
 
 
+def test_generate_allowance_per_node_and_short_circuits(spark):
+    """ADVICE r9 #4: the fan-out allowance is applied PER Generate node
+    (stacked explodes multiply), and the py4j plan walk is skipped or
+    cut short once the tier is already decided — a plan past the LARGE
+    threshold never pays the traversal, and the walk stops at the
+    first node that pushes the estimate across it."""
+    from cid_etl_spark.operators.aggregates import (
+        _ADAPTIVE_SIZE_THRESHOLD,
+        _GENERATE_FANOUT_ALLOWANCE,
+        _generate_allowance,
+    )
+    from cid_etl_spark.sources.parquet import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    nested = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(F.explode(F.split("w", "")).alias("c"))
+    )
+    plan = nested._jdf.queryExecution().optimizedPlan()
+    # two stacked Generates: allowance multiplies per node
+    assert _generate_allowance(plan, 1) == _GENERATE_FANOUT_ALLOWANCE ** 2
+    # estimate already past the LARGE edge: walk skipped entirely
+    assert _generate_allowance(plan, _ADAPTIVE_SIZE_THRESHOLD + 1) == 1
+    # first node already crosses the edge: walk stops at one factor
+    assert (
+        _generate_allowance(plan, _ADAPTIVE_SIZE_THRESHOLD)
+        == _GENERATE_FANOUT_ALLOWANCE
+    )
+    # explode-free plan: multiplier is exactly 1
+    flat = d.select("doc_id")._jdf.queryExecution().optimizedPlan()
+    assert _generate_allowance(flat, 1) == 1
+
+
 def test_bucketed_helpers_bit_identical_across_tiers(spark, df):
     """The tier choice must never change VALUES: ranks and cumsums for
     n_buckets 8 / 32 / 1024 / adaptive are identical (the monotone

@@ -1,0 +1,74 @@
+"""Drift-guard semantics of tools/bench_sf1.py (ADVICE r9 #2): a
+drifted longest-task number must NOT ratchet into the committed
+reference — the baseline is sticky under drift so the failure
+reproduces on re-run, and only ``--accept-drift`` (a human decision)
+resets it to the fresh measurement.  Pure-Python: no Spark session.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "bench_sf1",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "bench_sf1.py",
+    ),
+)
+bench_sf1 = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(bench_sf1)
+
+
+def test_green_run_updates_baseline():
+    results = {"q": {"longest_task_sec": 1.1}}
+    prev = {"q": {"longest_task_sec": 1.0, "baseline_longest_task_sec": 1.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert drift == {}
+    assert results["q"]["baseline_longest_task_sec"] == 1.1
+
+
+def test_drift_is_sticky_and_reproduces():
+    bound = bench_sf1.DRIFT_BOUND
+    results = {"q": {"longest_task_sec": round(2.0 * bound * 1.0, 2)}}
+    prev = {"q": {"longest_task_sec": 1.0, "baseline_longest_task_sec": 1.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert "q" in drift and drift["q"]["baseline_longest_task_sec"] == 1.0
+    # the written entry carries the OLD baseline forward...
+    assert results["q"]["baseline_longest_task_sec"] == 1.0
+    # ...so an identical re-run against the written file still fails
+    rerun = {"q": {"longest_task_sec": results["q"]["longest_task_sec"]}}
+    drift2 = bench_sf1._apply_drift_guard(rerun, results)
+    assert "q" in drift2 and drift2["q"]["baseline_longest_task_sec"] == 1.0
+
+
+def test_accept_drift_resets_baseline():
+    results = {"q": {"longest_task_sec": 9.0}}
+    prev = {"q": {"longest_task_sec": 1.0, "baseline_longest_task_sec": 1.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev, accept_drift=True)
+    assert drift == {}
+    assert results["q"]["baseline_longest_task_sec"] == 9.0
+
+
+def test_legacy_file_without_baseline_field_still_guards():
+    # the committed BENCH_SF1.json predates the baseline field: the
+    # guard falls back to the recorded longest_task_sec as reference
+    results = {"q": {"longest_task_sec": 5.0}}
+    prev = {"q": {"longest_task_sec": 1.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert "q" in drift and drift["q"]["baseline_longest_task_sec"] == 1.0
+
+
+def test_sub_quarter_second_references_never_flag():
+    results = {"q": {"longest_task_sec": 3.0}}
+    prev = {"q": {"longest_task_sec": 0.2, "baseline_longest_task_sec": 0.2}}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+    assert results["q"]["baseline_longest_task_sec"] == 3.0
+
+
+def test_new_query_has_no_reference():
+    results = {"q": {"longest_task_sec": 3.0}}
+    assert bench_sf1._apply_drift_guard(results, {}) == {}
+    assert results["q"]["baseline_longest_task_sec"] == 3.0
