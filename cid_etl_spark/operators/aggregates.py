@@ -191,38 +191,54 @@ _ADAPTIVE_SIZE_THRESHOLD = 256 << 20
 #: token-per-row fan-outs at the compressed-to-exploded boundary;
 #: callers exploding far wider than that at known scale should pin
 #: ``n_buckets`` explicitly (speed-only either way — tier choice never
-#: affects values).  Applied PER Generate node (ADVICE r9 #4: a flat
-#: one-shot 16× still undershot stacked explodes — e.g. tokens then
-#: character n-grams multiply fan-outs), so k nested explodes scale
-#: the estimate by 16^k; sibling Generates in different branches also
-#: each count, over-scaling only toward the safe (bigger-sort) tier.
+#: affects values).  Applied PER LIVE Generate node (ADVICE r9 #4: a
+#: flat one-shot 16× still undershot stacked explodes — e.g. tokens
+#: then character n-grams multiply fan-outs), so k nested live
+#: explodes scale the estimate by 16^k.  "Live" means no Aggregate
+#: sits between the Generate and the plan root: an aggregation above
+#: an explode collapses the fan-out back to group grain (the
+#: shingle→distinct→semi-join subtrees of the dedup family are the
+#: canonical case — their output is DOCUMENT-grain however wide the
+#: explode), so counting buried Generates only inflates the estimate
+#: of an input that never sees the exploded rows.  Measured: the
+#: naive per-node form flipped ``pretraining_data_pipeline``'s
+#: quota-bounded pack input (8 Generates, ALL under Aggregates) to the
+#: 1024-bucket hybrid and cost 1.7× at sf0.1.  Sibling live Generates
+#: in different branches still each count, over-scaling only toward
+#: the safe (bigger-sort) tier; the residual known undershoot is an
+#: Aggregate whose grouping keys keep exploded grain (e.g. distinct
+#: tokens), which the thresholds' ~10× margin absorbs — callers at
+#: known extreme scale pin ``n_buckets`` explicitly.
 _GENERATE_FANOUT_ALLOWANCE = 16
 
 
 def _generate_allowance(plan, est: int) -> int:
-    """Fan-out multiplier for the Generate nodes in the JVM logical
-    *plan*: ``_GENERATE_FANOUT_ALLOWANCE ** n_generates``, with two
-    short-circuits that keep the py4j plan walk off the hot path
-    (ADVICE r9 #4 — the traversal is a driver-side JVM round-trip per
-    node, paid on every estimate call): plans whose base estimate is
-    already past the LARGE-tier threshold skip the walk entirely (the
-    allowance can only push the tier UP, and it is already maximal),
-    and the walk stops as soon as the accumulated multiplier pushes
-    *est* past that same threshold — further Generate nodes cannot
-    change the chosen tier."""
+    """Fan-out multiplier for the LIVE Generate nodes in the JVM
+    logical *plan*: ``_GENERATE_FANOUT_ALLOWANCE ** n_live``, where a
+    Generate is live when no Aggregate lies on its path to the root
+    (see :data:`_GENERATE_FANOUT_ALLOWANCE`).  Two short-circuits keep
+    the py4j plan walk off the hot path (ADVICE r9 #4 — the traversal
+    is a driver-side JVM round-trip per node, paid on every estimate
+    call): plans whose base estimate is already past the LARGE-tier
+    threshold skip the walk entirely (the allowance can only push the
+    tier UP, and it is already maximal), and the walk stops as soon as
+    the accumulated multiplier pushes *est* past that same threshold —
+    further Generate nodes cannot change the chosen tier."""
     if est > _ADAPTIVE_SIZE_THRESHOLD:
         return 1
     mult = 1
-    stack = [plan]
+    stack = [(plan, False)]
     while stack:
-        node = stack.pop()
-        if node.nodeName() == "Generate":
+        node, under_agg = stack.pop()
+        name = node.nodeName()
+        if name == "Generate" and not under_agg:
             mult *= _GENERATE_FANOUT_ALLOWANCE
             if est * mult > _ADAPTIVE_SIZE_THRESHOLD:
                 return mult
+        under_agg = under_agg or name == "Aggregate"
         children = node.children()
         for i in range(children.size()):
-            stack.append(children.apply(i))
+            stack.append((children.apply(i), under_agg))
     return mult
 
 

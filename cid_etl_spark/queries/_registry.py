@@ -386,9 +386,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "run_batch_fragments_verified",
     "run_batch_stats_verified",
     # adaptive-tier consumers over documents (ADVICE r9 #4: the
-    # Generate allowance is now per-node; tier flips are value-neutral
-    # but these two re-verify under the driver anyway)
+    # Generate allowance is now per-live-node; tier flips are
+    # value-neutral but these two re-verify under the driver anyway)
     "pack_sequences_documents", "contiguous_ids_documents",
+    # the only two registry plans the live-Generate rule actually
+    # changes vs round 9 (full-registry canonicalized-plan A/B): their
+    # buried-Generate inputs drop the flat 16× and pick a smaller tier
+    "data_profile_orders", "chi_square_priority_status",
 )
 
 

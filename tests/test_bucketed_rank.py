@@ -439,6 +439,25 @@ def test_generate_allowance_per_node_and_short_circuits(spark):
     # explode-free plan: multiplier is exactly 1
     flat = d.select("doc_id")._jdf.queryExecution().optimizedPlan()
     assert _generate_allowance(flat, 1) == 1
+    # a Generate BURIED under an Aggregate is not live: the
+    # aggregation collapses the fan-out back to group grain, so the
+    # allowance must not fire (the pretraining pack-stage case — its
+    # quota-bounded doc-grain input carries 8 buried Generates and the
+    # naive per-node form cost 1.7× by flipping it to the hybrid tier)
+    buried = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id")
+        .count()
+    )._jdf.queryExecution().optimizedPlan()
+    assert _generate_allowance(buried, 1) == 1
+    # ...while an explode ABOVE the aggregate stays live
+    relive = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("w").alias("ws"))
+        .select(F.explode("ws").alias("w"))
+    )._jdf.queryExecution().optimizedPlan()
+    assert _generate_allowance(relive, 1) == _GENERATE_FANOUT_ALLOWANCE
 
 
 def test_bucketed_helpers_bit_identical_across_tiers(spark, df):
