@@ -65,7 +65,33 @@ def test_sub_quarter_second_references_never_flag():
     results = {"q": {"longest_task_sec": 3.0}}
     prev = {"q": {"longest_task_sec": 0.2, "baseline_longest_task_sec": 0.2}}
     assert bench_sf1._apply_drift_guard(results, prev) == {}
-    assert results["q"]["baseline_longest_task_sec"] == 3.0
+    # the green update is damped: the reference may loosen by at most
+    # 1/BASELINE_TIGHTEN_CAP per run, not jump straight to the sample
+    assert results["q"]["baseline_longest_task_sec"] == round(
+        0.2 / bench_sf1.BASELINE_TIGHTEN_CAP, 2
+    )
+
+
+def test_sub_second_swings_need_absolute_delta():
+    # a 0.6s reference swinging to 1.5s is a 2.5x ratio but only a
+    # 0.9s delta — scheduler/stall noise, not a decomposition change
+    results = {"q": {"longest_task_sec": 1.5}}
+    prev = {"q": {"baseline_longest_task_sec": 0.6, "longest_task_sec": 0.6}}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+
+
+def test_green_update_damped_both_ways():
+    cap = bench_sf1.BASELINE_TIGHTEN_CAP
+    # lucky fast sample: baseline tightens at most cap per run
+    results = {"q": {"longest_task_sec": 1.0}}
+    prev = {"q": {"baseline_longest_task_sec": 4.0, "longest_task_sec": 4.0}}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+    assert results["q"]["baseline_longest_task_sec"] == round(cap * 4.0, 2)
+    # slow-but-green sample: baseline loosens at most 1/cap per run
+    results = {"q": {"longest_task_sec": 5.5}}
+    prev = {"q": {"baseline_longest_task_sec": 4.0, "longest_task_sec": 4.0}}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+    assert results["q"]["baseline_longest_task_sec"] == round(4.0 / cap, 2)
 
 
 def test_new_query_has_no_reference():

@@ -89,7 +89,24 @@ BATCHES = {
 #: reports the query (VERDICT r8 #6): walls band ±40% across sessions
 #: on this host, but the longest single task is layout-bound and
 #: stable — a >1.5× jump means the plan's task decomposition changed.
+#: (Round-10 correction to "stable": on a host with transient stalls,
+#: a single task CAN absorb a multi-second freeze — the same
+#: dedup-clusters plan measured longest tasks of 4.4 / 25.8 / 7.4 s in
+#: three consecutive runs of one session.  Stall noise is one-sided,
+#: so the guard pairs the ratio with an absolute floor and damps the
+#: green-run ratchet below.)
 DRIFT_BOUND = 1.5
+#: a sub-second reference swinging to 1.7 s is scheduler/stall noise,
+#: not a decomposition change — require a real absolute delta too
+DRIFT_MIN_ABS_SEC = 1.0
+#: Green runs may tighten a baseline by at most this factor per run:
+#: longest-task noise is one-sided (stalls only lengthen tasks), so a
+#: lucky fast sample is CLOSER to the layout-bound truth — but
+#: ratcheting straight down to it makes the next stall-hit run flag
+#: spuriously.  Geometric damping still converges to a sustained
+#: improvement within a few rounds while keeping single-sample luck
+#: from arming the guard.
+BASELINE_TIGHTEN_CAP = 0.8
 
 
 def generate_sf1(spark) -> None:
@@ -203,6 +220,7 @@ def _apply_drift_guard(
             and ref
             and ref > 0.25
             and fresh > DRIFT_BOUND * ref
+            and fresh - ref > DRIFT_MIN_ABS_SEC
         ):
             drift[n] = {
                 "baseline_longest_task_sec": ref,
@@ -210,8 +228,17 @@ def _apply_drift_guard(
                 "ratio": round(fresh / ref, 2),
             }
             r["baseline_longest_task_sec"] = ref  # sticky: reproduce
-        else:
+        elif accept_drift or not ref:
             r["baseline_longest_task_sec"] = fresh
+        else:
+            # green: damp the update both ways — a lucky fast sample
+            # must not arm the guard for the next stall-hit run, and a
+            # slow-but-green run must not walk the reference up toward
+            # the bound; sustained change still converges in a few runs
+            lo, hi = BASELINE_TIGHTEN_CAP * ref, ref / BASELINE_TIGHTEN_CAP
+            r["baseline_longest_task_sec"] = round(
+                min(max(fresh, lo), hi), 2
+            )
     return drift
 
 
