@@ -85,6 +85,21 @@ BATCHES = {
     ],
 }
 
+#: Round 10: the customer-grain batch runs WITH bucketed facts — the
+#: write-layout fix flipped the feature's sf0.1 ladder positive
+#: (BASELINE.md §r10), so the standing guard now exercises the
+#: bucketed write + exchange-free member joins at sf1 every round.
+BUCKETED_BATCHES = {
+    "run_batch_customer_bucketed": (
+        [
+            "window_topk_orders_per_customer", "lag_order_gaps",
+            "window_running_revenue", "rfm_segmentation_customers",
+            "tpch_q13_customer_distribution",
+        ],
+        {"orders": "o_custkey", "customer": "c_custkey"},
+    ),
+}
+
 #: Round-over-round longest-task drift tolerated before the guard
 #: reports the query (VERDICT r8 #6): walls band ±40% across sessions
 #: on this host, but the longest single task is layout-bound and
@@ -280,6 +295,10 @@ def main() -> int:
     ] + [
         (n, (lambda ms=members: run_batch(spark, SF1_DIR, ms)))
         for n, members in BATCHES.items()
+    ] + [
+        (n, (lambda ms=spec[0], bf=spec[1]: run_batch(
+            spark, SF1_DIR, ms, bucket_facts=bf)))
+        for n, spec in BUCKETED_BATCHES.items()
     ]
     for name, fn in runs:
         spark.catalog.clearCache()
