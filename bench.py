@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -42,10 +43,20 @@ REGRESSION_RATIO = 1.5
 #: r10: medians 1.26/1.21/1.18 across ALL 262 queries including plans
 #: untouched for rounds, with flags landing on DIFFERENT queries each
 #: run) says the host is slow, not that the code regressed.  The
-#: factor is floored at 1.0 (a fast session keeps the raw guard),
-#: CAPPED here so a genuine across-the-board regression cannot hide as
-#: "drift" (anything above the cap still flags), and published in the
-#: summary JSON so a normalized run is visible as such.
+#: factor is floored at 1.0 (a fast session keeps the raw guard), and
+#: published in the summary JSON so a normalized run is visible as
+#: such.  The cap is an ARBITRATION TRIPWIRE, not a silent ceiling
+#: (ADVICE r10 #1): normalizing at the cap would compound with
+#: REGRESSION_RATIO into an effective ~2× threshold that a genuine
+#: uniform regression (shared machinery: load_table, session conf, the
+#: harness itself) could hide inside.  So when the session's UNCAPPED
+#: median ratio exceeds the cap, the run stops normalizing entirely —
+#: regressions are computed against RAW baselines (drift=1.0), the
+#: summary carries ``requires_arbitration: true`` with the uncapped
+#: factor, and a human (or the next fresh session) must decide
+#: slow-host vs uniform-regression.  A merely-slow host trips it too;
+#: that is the point — past the cap the two are indistinguishable from
+#: inside one session.
 _AMBIENT_DRIFT_CAP = 1.35
 #: queries with baselines below this are too noisy to vote on drift
 _AMBIENT_VOTER_MIN_BASELINE_SEC = 0.3
@@ -60,6 +71,17 @@ _MIN_REGRESSION_ABS_SEC = 0.5
 #: 1.07-1.95 s in one interleaved session with no code change.
 _MIN_REGRESSION_ABS_SEC_SUB2 = 1.0
 _SUB2_BASELINE_SEC = 2.0
+
+#: Steady-state mode for the noise floor (VERDICT r10 #7): rows with a
+#: sub-second baseline measure codegen/janino/GC fixed costs as much as
+#: their plan — 3 of the 4 nominal r10 2×-line hits were sub-1.3 s rows
+#: with <1 s absolute delta.  Each such row gets ONE untimed warm run
+#: (compile + worker-pool costs land outside the timed window) and is
+#: reported as the median of 3 timed runs (the instability escalation
+#: below still widens to 5), so the 2× line on these rows measures the
+#: PLAN, not JIT state.  Extra wall is bounded: the affected rows sum
+#: to ~60 s of sub-second runs at sf0.1.
+_STEADY_STATE_BASELINE_SEC = 1.0
 
 #: Queries whose first-pass wall exceeds this get re-run twice and
 #: reported as the median of 3 (noise control, VERDICT r6 #6);
@@ -434,18 +456,26 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     baseline = load_baseline(os.path.join(repo_dir, "BASELINE.md"), sf)
 
-    def ambient_drift(ts: "dict[str, float]") -> float:
-        """Median of this session's per-query ratios vs baseline over
-        the stable voters, floored at 1.0 and capped (see
-        :data:`_AMBIENT_DRIFT_CAP`)."""
-        ratios = sorted(
+    def ambient_drift_raw(ts: "dict[str, float]") -> float:
+        """UNCAPPED median of this session's per-query ratios vs
+        baseline over the stable voters, floored at 1.0.  True median
+        (ADVICE r10 #4): the old upper-middle pick biased even-length
+        voter lists upward, weakening the guard."""
+        ratios = [
             t / baseline[n]
             for n, t in ts.items()
             if baseline.get(n, 0) >= _AMBIENT_VOTER_MIN_BASELINE_SEC
-        )
+        ]
         if not ratios:
             return 1.0
-        return min(max(ratios[len(ratios) // 2], 1.0), _AMBIENT_DRIFT_CAP)
+        return max(statistics.median(ratios), 1.0)
+
+    def effective_drift(raw: float) -> float:
+        """The normalization factor the ratio guard actually uses: the
+        raw session median up to the cap; PAST the cap, 1.0 — the run
+        flips to arbitration mode and compares raw baselines (see
+        :data:`_AMBIENT_DRIFT_CAP`)."""
+        return raw if raw <= _AMBIENT_DRIFT_CAP else 1.0
 
     def is_flagged(name: str, t: float, drift: float = 1.0) -> bool:
         if name not in baseline or baseline[name] <= 0:
@@ -462,7 +492,11 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        if name in WARM_FIRST:
+        if (
+            name in WARM_FIRST
+            or baseline.get(name, _STEADY_STATE_BASELINE_SEC)
+            < _STEADY_STATE_BASELINE_SEC
+        ):
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = run_once(name)
 
@@ -484,12 +518,14 @@ def main() -> None:
     # consecutive reruns.  A 3-sample median is corrupted when 2 of 3
     # samples hit the transient; a 5-sample median needs 3 — and the
     # extra runs are only paid by queries that actually wobbled.
-    drift = ambient_drift(timings)
+    drift = effective_drift(ambient_drift_raw(timings))
     reruns: dict[str, list[float]] = {}
     for name in [
         n
         for n, t in timings.items()
-        if t > _MEDIAN_THRESHOLD_SEC or is_flagged(n, t, drift)
+        if t > _MEDIAN_THRESHOLD_SEC
+        or baseline.get(n, _STEADY_STATE_BASELINE_SEC) < _STEADY_STATE_BASELINE_SEC
+        or is_flagged(n, t, drift)
     ]:
         samples = [timings[name], run_once(name), run_once(name)]
         if max(samples) > 2 * min(samples):
@@ -500,7 +536,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    drift = ambient_drift(timings)
+    raw_drift = ambient_drift_raw(timings)
+    drift = effective_drift(raw_drift)
+    requires_arbitration = raw_drift > _AMBIENT_DRIFT_CAP
     regressions = sorted(
         (
             {"query": n, "sec": t, "baseline_sec": baseline[n],
@@ -520,6 +558,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "ambient_drift": drift,
+        "ambient_drift_raw": round(raw_drift, 3),
+        "requires_arbitration": requires_arbitration,
         "regressions": regressions,
         "reruns": reruns,
     }
@@ -541,6 +581,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "ambient_drift": drift,
+                "requires_arbitration": requires_arbitration,
                 "regressions": [r["query"] for r in regressions[:8]],
             }
         )

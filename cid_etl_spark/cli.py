@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="directory with the official DataSUS CSVs "
         "(CAPITULOS/GRUPOS/CATEGORIAS/SUBCATEGORIAS)",
     )
+    parser.add_argument(
+        "--include-bare-categories",
+        action="store_true",
+        help="official mode only: also emit category-grain rows (an "
+        "extension beyond the reference, whose official-mode output "
+        "contains subcategory codes only)",
+    )
     parser.add_argument("--out", default="cid10_consolidado.csv", help="output CSV path")
     parser.add_argument(
         "--run-query",
@@ -70,7 +77,10 @@ def main(argv: Sequence[str] | None = None) -> str:
         return args.run_query
     if args.datasus_dir:
         _, metrics = run_etl_from_datasus_dir(
-            spark, args.datasus_dir, output_csv=args.out
+            spark,
+            args.datasus_dir,
+            output_csv=args.out,
+            include_bare_categories=args.include_bare_categories,
         )
     else:
         required = [

@@ -242,6 +242,142 @@ def _resolve_members(
     return [n for n, _ in pairs], fns, qf
 
 
+#: Session conf key for the ``bucket_facts="auto"`` size gate: a table
+#: below this many bytes is never auto-bucketed (it is broadcast- or
+#: single-shuffle-cheap anyway, and the one-exchange bucketed write
+#: would cost more than it saves).  The default is far above any
+#: broadcast threshold — at fixture scale the heuristic is inert and
+#: the measured sf0.1/sf1 ladders keep their meaning; on a real corpus
+#: the facts pass the gate and the advice fires.
+AUTO_BUCKET_MIN_BYTES_CONF = "spark.cid_etl.batch.autoBucketMinBytes"
+AUTO_BUCKET_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
+
+
+def _table_bytes(spark: SparkSession, sf_dir: str, tbl: str) -> int:
+    """Total bytes of a fixture table, through the Hadoop FileSystem
+    resolved from the path's own URI (works for local dirs and
+    hdfs://-style roots alike — same resolution as _scratch_dir)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(sf_dir, f"{tbl}.parquet")
+    )
+    try:
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getContentSummary(jpath).getLength()
+    except Exception:
+        return 0
+
+
+def _equi_grain_names(root) -> "set[str]":
+    """Attribute names a plan uses as an equi-join key, a grouping
+    key, or a window partition key — the grains a bucketed layout on
+    the underlying table could satisfy without an Exchange.  Walks the
+    analyzed logical tree (a JVM LogicalPlan).  Join conditions are
+    read from the expression's ``sql()`` rendering and only the
+    ``a = b`` equality pairs count — range/interval predicates
+    (``BETWEEN``, ``<=``) never vote, a hash layout cannot serve
+    them."""
+    import re as _re
+
+    names: set[str] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "Join":
+            cond = node.condition()
+            if cond.isDefined():
+                for m in _re.finditer(
+                    r"`?(\w+)`?\s*=\s*`?(\w+)`?", cond.get().sql()
+                ):
+                    names.update(m.groups())
+        elif cls in ("Aggregate", "Window"):
+            exprs = (
+                node.groupingExpressions()
+                if cls == "Aggregate"
+                else node.partitionSpec()
+            )
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if e.getClass().getSimpleName() == "AttributeReference":
+                    names.add(e.name())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return names
+
+
+def advise_bucket_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str],
+    fns: "dict[str, Callable[[SparkSession, str], DataFrame]]",
+    min_bytes: int | None = None,
+) -> dict[str, str]:
+    """The ``bucket_facts="auto"`` heuristic (VERDICT r10 #5): declare
+    a bucketed copy for every fixture table that (a) is too big to
+    broadcast or shuffle casually — ≥ *min_bytes* (conf
+    :data:`AUTO_BUCKET_MIN_BYTES_CONF`) — and (b) at least TWO batch
+    members join/group/window on the same column of it, so the one
+    bucketed write amortizes over ≥2 elided per-member Exchanges (the
+    break-even the r10 sf0.1 ladders measured; BASELINE.md §r10).
+
+    Mechanical, not declared: each member's ANALYZED plan is walked
+    for equi-join keys, grouping keys, and window partition keys; a
+    key column votes for its table when the column name maps to
+    exactly one fixture table (the fixture schemas are prefix-named,
+    so ambiguity is rare; ambiguous names never vote).  Per table the
+    most-voted key wins, ties to the lexicographically smallest.  The
+    SIZE GATE RUNS FIRST — when no table passes (every test fixture),
+    the member plans are never built and the advice costs 10 footer
+    stats, so ``"auto"`` as the default adds no overhead at small
+    scale."""
+    from cid_etl_spark.sources.parquet import TABLES, load_table
+
+    if min_bytes is None:
+        min_bytes = int(
+            spark.conf.get(
+                AUTO_BUCKET_MIN_BYTES_CONF,
+                str(AUTO_BUCKET_MIN_BYTES_DEFAULT),
+            )
+        )
+    big = {t for t in TABLES if _table_bytes(spark, sf_dir, t) >= min_bytes}
+    if not big:
+        return {}
+    col_table: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    for t in TABLES:  # every table votes for ambiguity, not just big ones
+        for c in load_table(spark, sf_dir, t).columns:
+            if c in ambiguous:
+                continue
+            if c in col_table and col_table[c] != t:
+                ambiguous.add(c)
+                col_table.pop(c)
+            else:
+                col_table[c] = t
+    votes: dict[tuple[str, str], int] = {}
+    for n in names:
+        try:
+            root = fns[n](spark, sf_dir)._jdf.queryExecution().analyzed()
+        except Exception:
+            continue  # a member that fails to plan simply doesn't vote
+        for col in _equi_grain_names(root):
+            t = col_table.get(col)
+            if t in big:
+                votes[(t, col)] = votes.get((t, col), 0) + 1
+    out: dict[str, str] = {}
+    for t in sorted(big):
+        cands = [
+            (cnt, key)
+            for (tt, key), cnt in votes.items()
+            if tt == t and cnt >= 2
+        ]
+        if cands:
+            best = min(cands, key=lambda ck: (-ck[0], ck[1]))
+            out[t] = best[1]
+    return out
+
+
 def run_batch(
     spark: SparkSession,
     sf_dir: str,
@@ -250,7 +386,7 @@ def run_batch(
     mode: str = "materialize",
     max_concurrency: int = 4,
     scratch_root: str | None = None,
-    bucket_facts: "dict[str, str | tuple[str, int]] | None" = None,
+    bucket_facts: "dict[str, str | tuple[str, int]] | str | None" = "auto",
 ) -> dict[str, Any]:
     """Run a batch of queries with shared fragments reused across
     them.  *names* is a list of REGISTERED query names, or a dict
@@ -321,12 +457,31 @@ def run_batch(
     and substituted at the loader, invisible to derivation.  Values
     are identical by construction (same rows, different layout);
     materialize mode only.
+
+    The DEFAULT is ``bucket_facts="auto"`` (round 11, VERDICT r10 #5 —
+    the r10 write-layout fix flipped the feature's sf0.1 ladders
+    positive, so it graduates from opt-in to advised):
+    :func:`advise_bucket_facts` walks the members' analyzed plans and
+    declares a bucketed copy for every fixture table ≥
+    :data:`AUTO_BUCKET_MIN_BYTES_DEFAULT` bytes (conf-overridable)
+    that ≥2 members join/group/window on the same key of.  Below the
+    gate — every test fixture — auto resolves to no bucketing at the
+    cost of 10 file-size stats, so small-scale batches are unchanged.
+    Pass an explicit dict to force, or ``None`` to disable.
     """
     if action is None:
         def action(df: DataFrame) -> None:  # noqa: F811
             df.write.format("noop").mode("overwrite").save()
 
     member_names, fns, qf = _resolve_members(spark, sf_dir, names)
+    if bucket_facts == "auto":
+        # advised by default (VERDICT r10 #5): the size gate keeps it
+        # inert below AUTO_BUCKET_MIN_BYTES; cache mode never buckets
+        bucket_facts = (
+            advise_bucket_facts(spark, sf_dir, member_names, fns)
+            if mode == "materialize"
+            else None
+        ) or None
     if mode == "materialize":
         return _run_materialized(
             spark, sf_dir, member_names, fns, qf, action,

@@ -356,6 +356,39 @@ _ROUND9_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the round-10 driver window hash-verified
+#: (CORRECTNESS_r10.json, 50/50 green): the 6 priority rows (batch
+#: digests, adaptive-tier consumers, the two changed-plan stats
+#: queries) plus the 43-row r4-latest tail + 1 oldest-r5 fill.
+_ROUND10_VERIFIED: frozenset[str] = frozenset(
+    {
+        "ab_funnel_lift", "ab_test_events", "activity_streaks_events",
+        "ansi_safe_arithmetic_suite", "argmax_suite_customers",
+        "bucketed_range_join_quantity", "cdc_merge_full",
+        "chi_square_priority_status", "chunk_documents_sliding",
+        "cohort_retention_events", "compaction_roundtrip",
+        "content_flags_documents", "contiguous_ids_documents",
+        "conversion_time_percentiles", "corpus_composition_report",
+        "data_profile_orders", "export_shards_report",
+        "fuzzy_match_nations", "higher_order_funcs_suite",
+        "incremental_agg_maintenance", "jl_projection_embeddings",
+        "kmv_distinct_users", "length_buckets_documents", "listagg_nations",
+        "normalize_text_suite", "pack_sequences_documents",
+        "partitioned_lake_roundtrip", "peak_transit_concurrency",
+        "percentile_disc_stats", "price_histogram_orders",
+        "purchase_click_attribution", "quarantine_split_roundtrip",
+        "referential_integrity_audit", "regex_extraction_suite",
+        "run_batch_fragments_verified", "run_batch_stats_verified",
+        "scd2_point_in_time_join", "schema_evolution_roundtrip",
+        "snapshot_diff_orders", "temperature_mixture_sample",
+        "unpivot_order_metrics", "value_trend_events",
+        "variant_props_stats", "weighted_sample_documents",
+        "window_distribution_suite", "window_sliding_events",
+        "window_value_functions", "zipf_fit_tokens",
+        "zorder_lake_roundtrip", "zscore_outliers_events",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
@@ -363,36 +396,30 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
+    _ROUND10_VERIFIED,
 )
 
-#: Round-10 driver window.  The round is pure consolidation (the four
-#: ADVICE r9 items): the only production-plan changes are INSIDE
-#: ``run_batch``'s machinery — bucketed-fact copies now written
-#: one-sorted-file-per-bucket with partial-failure catalog cleanup
-#: (plans/batch.py) — so the two batch digest rows are the changed-plan
-#: re-verifies.  The per-node Generate fan-out allowance
-#: (operators/aggregates.py) can only move ADAPTIVE TIER choice on
-#: stacked-explode inputs (value-neutral by the monotone-bucket
-#: argument); the two document-side adaptive-tier consumers ride along
-#: as belt-and-braces.  The other 46 slots fall through to the
-#: freshness rule in ``_ordered_names``: oldest-driver-green first,
-#: which clears the ENTIRE remaining r4-latest tail (43 oracled rows,
-#: enumerated in SURVEY §7 round-9 notes); after r10 no oracled row's
-#: latest driver green predates round 5.
+#: Round-11 driver window.  The round's production-plan changes:
+#: (1) official-mode flat-list STRICT PARITY (VERDICT r10 missing #1,
+#: plans/cid_pipeline.py — the golden row's plan AND oracle both
+#: changed); (2) run_batch's bucket_facts heuristic (VERDICT r10 #5,
+#: plans/batch.py — inert at fixture scale by the size gate, but the
+#: two batch digest rows re-verify the machinery anyway).  The other
+#: 47 slots fall through to the freshness rule in ``_ordered_names``:
+#: oldest-driver-green first, which clears the ENTIRE remaining
+#: r5-latest tail (39 oracled rows, enumerated in SURVEY §7 round-10
+#: notes) plus the 8 oldest r6 rows; after r11 no oracled row's latest
+#: driver green predates round 6.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # batch machinery changed (ADVICE r9 #1/#3: bucketed-fact write
-    # layout + failure cleanup): the digest rows re-prove member
-    # results bit-identical through run_batch under the driver harness
+    # changed plan + changed oracle: strict reference parity for the
+    # official-mode flat list (the DATASUS branch now re-derives the
+    # structured output's codes; bare categories are extension-only)
+    "cid_pipeline_golden",
+    # batch machinery changed (bucket_facts="auto" heuristic): the
+    # digest rows re-prove member results bit-identical through
+    # run_batch under the driver harness
     "run_batch_fragments_verified",
     "run_batch_stats_verified",
-    # adaptive-tier consumers over documents (ADVICE r9 #4: the
-    # Generate allowance is now per-live-node; tier flips are
-    # value-neutral but these two re-verify under the driver anyway)
-    "pack_sequences_documents", "contiguous_ids_documents",
-    # the only two registry plans the live-Generate rule actually
-    # changes vs round 9 (full-registry canonicalized-plan A/B): their
-    # buried-Generate inputs drop the flat 16× and pick a smaller tier
-    "data_profile_orders", "chi_square_priority_status",
 )
 
 

@@ -211,7 +211,8 @@ _CID_GOLDEN_SQL = """
         SELECT * FROM (VALUES
             ('A099', 'Diarréia não especificada'),
             ('B150', 'Hepatite A com coma'),
-            ('C02 ', 'Língua SOE')
+            ('C02 ', 'Língua SOE'),
+            ('Z990', 'Dependência de máquina')
         ) v(subcat, descricao)
     ),
     -- S5 schema mapping (etl_cid10.py:230-264)
@@ -286,19 +287,25 @@ _CID_GOLDEN_SQL = """
                'Estruturada' AS fonte
         FROM subcategories s LEFT JOIN cat_map m USING (category_code)
     ),
-    -- DATASUS branch (etl_cid10.py:108-155): flat category list enriched
+    -- DATASUS branch, strict reference parity (etl_cid10.py:350-353):
+    -- the official-mode flat list is the STRUCTURED OUTPUT's own
+    -- (codigo, descricao), re-enriched via prepare_datasus
+    -- (etl_cid10.py:108-155) — the union/dedup adds no new codes
     datasus AS (
-        SELECT c.category_code AS cid_codigo,
-               c.category_code AS cid_categoria,
-               CAST(NULL AS VARCHAR) AS cid_subcategoria,
-               c.category_title AS titulo,
-               c.category_title AS descricao,
+        SELECT s.cid_codigo,
+               split_part(s.cid_codigo, '.', 1) AS cid_categoria,
+               CASE WHEN contains(s.cid_codigo, '.')
+                    THEN s.cid_codigo END AS cid_subcategoria,
+               s.descricao AS titulo,
+               s.descricao AS descricao,
                m.chapter_code AS capitulo_codigo,
                m.chapter_title AS capitulo_titulo,
                m.block_id AS bloco_codigo,
                m.block_title AS bloco_titulo,
                'DATASUS' AS fonte
-        FROM categories c LEFT JOIN cat_map m USING (category_code)
+        FROM structured s
+        LEFT JOIN cat_map m
+          ON split_part(s.cid_codigo, '.', 1) = m.category_code
     ),
     -- U1 union → A3 priority dedup → P6 date stamp (etl_cid10.py:357-363)
     unioned AS (
@@ -347,6 +354,10 @@ _CID_GOLDEN_FIXTURE = {
             ["A099", "Diarréia não especificada"],
             ["B150", "Hepatite A com coma"],
             ["C02 ", "Língua SOE"],
+            # Z99 has no covering GRUPOS/CAPITULOS range: the
+            # null-hierarchy trap must survive strict parity (bare
+            # category rows no longer reach the output)
+            ["Z990", "Dependência de máquina"],
         ],
     ),
 }
@@ -364,11 +375,13 @@ def cid_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a DuckDB twin that replays the same dataflow in SQL from
     identical VALUES literals.
 
-    The fixture plants the traps SURVEY §4.2 lists: a code present in
-    both sources (C02: its subcategory row 'C02 ' formats to the bare
-    category code, so dedup must prefer Estruturada), a 4-char SUBCAT
-    needing the dot (A099 → A09.9), a blank-4th-char SUBCAT (C02 ),
-    and a category with no covering range (Z99 → NULL hierarchy)."""
+    The fixture plants the traps SURVEY §4.2 lists: a structured code
+    colliding with its own DATASUS re-derivation (every code does,
+    under strict parity — etl_cid10.py:350-353 feeds the structured
+    output back as the flat list, so dedup must prefer Estruturada on
+    EVERY row), a 4-char SUBCAT needing the dot (A099 → A09.9), a
+    blank-4th-char SUBCAT ('C02 ' → bare C02), and a subcategory whose
+    category has no covering range (Z99.0 → NULL hierarchy)."""
     import csv as _csv
     import os
 

@@ -768,3 +768,80 @@ def test_bucketed_facts_partial_failure_cleans_catalog(spark, tmp_path):
     }
     assert after == before, f"leaked catalog tables: {after - before}"
     assert ctx.bucketed_tables == {}
+
+
+def test_auto_bucket_facts_gate_inert_at_fixture_scale(spark):
+    """bucket_facts='auto' (round 11, VERDICT r10 #5): below the size
+    gate — every test fixture — the advice is empty and the member
+    plans are never built, so the new default changes nothing at small
+    scale."""
+    from cid_etl_spark.plans.batch import _resolve_members, advise_bucket_facts
+
+    names, fns, _ = _resolve_members(spark, SF, BATCH)
+    assert advise_bucket_facts(spark, SF, names, fns) == {}
+
+
+def test_auto_bucket_facts_derives_shared_grain(spark):
+    """With the gate lowered, the heuristic walks the members' analyzed
+    plans and declares the fact ≥2 members join/group/window on the
+    same key of — the customer-grain guard batch derives the same
+    orders declaration its manual spec carries (customer itself gets
+    only one vote in this member set and correctly stays undeclared)."""
+    from cid_etl_spark.plans.batch import _resolve_members, advise_bucket_facts
+
+    members = [
+        "window_topk_orders_per_customer",
+        "lag_order_gaps",
+        "window_running_revenue",
+        "rfm_segmentation_customers",
+        "tpch_q13_customer_distribution",
+    ]
+    names, fns, _ = _resolve_members(spark, SF, members)
+    assert advise_bucket_facts(spark, SF, names, fns, min_bytes=1) == {
+        "orders": "o_custkey"
+    }
+
+
+def test_auto_bucket_facts_range_predicates_never_vote(spark):
+    """A hash-bucketed layout cannot serve a range predicate: members
+    theta-joining on BETWEEN/<= must not produce a declaration."""
+    from cid_etl_spark.plans.batch import _equi_grain_names
+    from cid_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    lo = li.select(F.col("l_quantity").alias("qlo"), "l_orderkey")
+    hi = li.select(F.col("l_quantity").alias("qhi"), F.col("l_orderkey").alias("rk"))
+    theta = lo.join(hi, (lo.qlo <= hi.qhi) & (lo.qlo >= hi.qhi - 1), "inner")
+    names = _equi_grain_names(theta._jdf.queryExecution().analyzed())
+    assert "qlo" not in names and "qhi" not in names
+
+
+def test_run_batch_auto_threshold_override_matches_per_query(spark):
+    """Force the auto path through the conf override: results stay
+    row-identical to per-query runs and the advised bucketed copies are
+    dropped by batch end."""
+    from cid_etl_spark.queries import spark_queries
+
+    members = [
+        "window_topk_orders_per_customer",
+        "lag_order_gaps",
+        "tpch_q13_customer_distribution",
+    ]
+    queries = spark_queries()
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = {n: rows(queries[n](spark, SF)) for n in members}
+    spark.conf.set("spark.cid_etl.batch.autoBucketMinBytes", "1")
+    try:
+        got = run_batch(spark, SF, members, action=rows)  # default: auto
+    finally:
+        spark.conf.unset("spark.cid_etl.batch.autoBucketMinBytes")
+    for n in members:
+        assert got[n] == want[n], f"auto-bucketed batch differs for {n}"
+    assert not [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cid_etl_bucketed_")
+    ]

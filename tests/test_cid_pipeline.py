@@ -143,20 +143,44 @@ def datasus_dir_fixture(tmp_path):
 
 
 def test_run_etl_from_datasus_dir(spark, datasus_dir_fixture):
+    """Strict reference parity (default): the flat list is the
+    structured output itself (etl_cid10.py:350-353), so the union/dedup
+    adds NO new codes — the output is exactly the structured branch's
+    codes, every row fonte='Estruturada'."""
     final, metrics = run_etl_from_datasus_dir(spark, datasus_dir_fixture)
     rows = {r["cid_codigo"]: r.asDict() for r in final.collect()}
 
-    # subcategories (structured) + bare categories (flat list), deduped:
-    # A09.9 and C02 from subcats; A09 + C02 from categories → C02 dedups
-    assert set(rows) == {"A09.9", "C02", "A09"}
-    # range join attached the right block/chapter to A09*
+    # structured codes only: A09.9 (dotted) and C02 ('C02 ' → bare);
+    # bare category A09 does NOT appear (the reference's output never
+    # contains undivided-category rows)
+    assert set(rows) == {"A09.9", "C02"}
+    # range join attached the right block/chapter to A09.9
     assert rows["A09.9"]["bloco_codigo"] == "A00-A09"
     assert rows["A09.9"]["capitulo_codigo"] == "A00-B99"
-    assert rows["A09"]["bloco_codigo"] == "A00-A09"
-    # C02 has no block range covering it (C00-C14 does) → check chapter II
     assert rows["C02"]["bloco_codigo"] == "C00-C14"
     assert rows["C02"]["capitulo_codigo"] == "C00-D48"
-    # structured branch wins the C02 collision
+    # every code collides with its DATASUS re-derivation; Estruturada wins
+    assert {r["fonte"] for r in rows.values()} == {"Estruturada"}
+    assert metrics["total"] == 2
+    assert metrics["missing_hierarchy"] == 0
+
+
+def test_run_etl_from_datasus_dir_bare_categories_extension(
+    spark, datasus_dir_fixture
+):
+    """The documented extension: include_bare_categories=True adds
+    category-grain rows (e.g. undivided A09) the reference's
+    official-mode output would not contain."""
+    final, metrics = run_etl_from_datasus_dir(
+        spark, datasus_dir_fixture, include_bare_categories=True
+    )
+    rows = {r["cid_codigo"]: r.asDict() for r in final.collect()}
+
+    # A09.9 and C02 from subcats; A09 + C02 from categories → C02 dedups
+    assert set(rows) == {"A09.9", "C02", "A09"}
+    assert rows["A09"]["bloco_codigo"] == "A00-A09"
+    assert rows["A09"]["fonte"] == "DATASUS"
+    # structured branch still wins the C02 collision
     assert rows["C02"]["fonte"] == "Estruturada"
     assert metrics["total"] == 3
     assert metrics["missing_hierarchy"] == 0

@@ -22,12 +22,14 @@ bench_sf1 = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(bench_sf1)
 
 
-def test_green_run_updates_baseline():
+def test_green_run_never_loosens_baseline():
+    # ADVICE r10 #2: a slow-but-green sample keeps the old reference —
+    # upward movement is --accept-drift only
     results = {"q": {"longest_task_sec": 1.1}}
     prev = {"q": {"longest_task_sec": 1.0, "baseline_longest_task_sec": 1.0}}
     drift = bench_sf1._apply_drift_guard(results, prev)
     assert drift == {}
-    assert results["q"]["baseline_longest_task_sec"] == 1.1
+    assert results["q"]["baseline_longest_task_sec"] == 1.0
 
 
 def test_drift_is_sticky_and_reproduces():
@@ -65,11 +67,8 @@ def test_sub_quarter_second_references_never_flag():
     results = {"q": {"longest_task_sec": 3.0}}
     prev = {"q": {"longest_task_sec": 0.2, "baseline_longest_task_sec": 0.2}}
     assert bench_sf1._apply_drift_guard(results, prev) == {}
-    # the green update is damped: the reference may loosen by at most
-    # 1/BASELINE_TIGHTEN_CAP per run, not jump straight to the sample
-    assert results["q"]["baseline_longest_task_sec"] == round(
-        0.2 / bench_sf1.BASELINE_TIGHTEN_CAP, 2
-    )
+    # ...and the slow sample does not loosen the reference either
+    assert results["q"]["baseline_longest_task_sec"] == 0.2
 
 
 def test_sub_second_swings_need_absolute_delta():
@@ -80,18 +79,37 @@ def test_sub_second_swings_need_absolute_delta():
     assert bench_sf1._apply_drift_guard(results, prev) == {}
 
 
-def test_green_update_damped_both_ways():
+def test_green_update_tighten_only():
     cap = bench_sf1.BASELINE_TIGHTEN_CAP
     # lucky fast sample: baseline tightens at most cap per run
     results = {"q": {"longest_task_sec": 1.0}}
     prev = {"q": {"baseline_longest_task_sec": 4.0, "longest_task_sec": 4.0}}
     assert bench_sf1._apply_drift_guard(results, prev) == {}
     assert results["q"]["baseline_longest_task_sec"] == round(cap * 4.0, 2)
-    # slow-but-green sample: baseline loosens at most 1/cap per run
+    # slow-but-green sample: baseline NEVER loosens (ADVICE r10 #2) —
+    # the old 1/cap-per-run loosening let a sustained sub-bound creep
+    # ratchet the reference upward indefinitely
     results = {"q": {"longest_task_sec": 5.5}}
     prev = {"q": {"baseline_longest_task_sec": 4.0, "longest_task_sec": 4.0}}
     assert bench_sf1._apply_drift_guard(results, prev) == {}
-    assert results["q"]["baseline_longest_task_sec"] == round(4.0 / cap, 2)
+    assert results["q"]["baseline_longest_task_sec"] == 4.0
+
+
+def test_sustained_creep_eventually_flags():
+    # regression of the ratchet: +30% per run is green each round under
+    # the old loosening but must eventually trip DRIFT_BOUND now that
+    # the reference is pinned
+    ref = {"q": {"baseline_longest_task_sec": 4.0, "longest_task_sec": 4.0}}
+    wall = 4.0
+    flagged = False
+    for _ in range(6):
+        wall = round(wall * 1.3, 2)
+        results = {"q": {"longest_task_sec": wall}}
+        if bench_sf1._apply_drift_guard(results, ref):
+            flagged = True
+            break
+        ref = results
+    assert flagged
 
 
 def test_new_query_has_no_reference():

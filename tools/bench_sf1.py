@@ -54,8 +54,12 @@ QUERIES = [
     "gini_by_region_orders", "rank_customers_in_segment",
     "ks_test_priority_orders", "spearman_acctbal_spend",
     "pack_sequences_documents", "contiguous_ids_documents",
-    # graph family (bounded-round CC / iterative)
+    # graph family (bounded-round CC / iterative); pagerank is the
+    # most expensive registered query (14.4 s at sf0.1, one SMJ per
+    # iteration) — its iterative-join scaling is measured here, not
+    # assumed (VERDICT r10 #6)
     "dedup_clusters_documents", "bfs_distances_copurchase",
+    "pagerank_copurchase",
     # capstones
     "pretraining_data_pipeline", "corpus_curation_pipeline",
     # lexical fragments standalone anchor
@@ -120,7 +124,9 @@ DRIFT_MIN_ABS_SEC = 1.0
 #: ratcheting straight down to it makes the next stall-hit run flag
 #: spuriously.  Geometric damping still converges to a sustained
 #: improvement within a few rounds while keeping single-sample luck
-#: from arming the guard.
+#: from arming the guard.  Tightening is the ONLY automatic movement
+#: (ADVICE r10 #2): green runs never loosen the reference upward —
+#: that path goes through --accept-drift exclusively.
 BASELINE_TIGHTEN_CAP = 0.8
 
 
@@ -246,13 +252,16 @@ def _apply_drift_guard(
         elif accept_drift or not ref:
             r["baseline_longest_task_sec"] = fresh
         else:
-            # green: damp the update both ways — a lucky fast sample
-            # must not arm the guard for the next stall-hit run, and a
-            # slow-but-green run must not walk the reference up toward
-            # the bound; sustained change still converges in a few runs
-            lo, hi = BASELINE_TIGHTEN_CAP * ref, ref / BASELINE_TIGHTEN_CAP
+            # green: TIGHTEN-ONLY (ADVICE r10 #2).  A faster sample may
+            # lower the reference, damped so a lucky sub-stall run
+            # doesn't arm the guard for the next stall-hit run; a
+            # slow-but-green sample NEVER moves the reference upward —
+            # the old damped loosening let a sustained <1.5×-per-round
+            # creep ratchet the reference indefinitely without ever
+            # tripping DRIFT_BOUND.  Any upward movement now requires
+            # --accept-drift (a human decision on a reviewed number).
             r["baseline_longest_task_sec"] = round(
-                min(max(fresh, lo), hi), 2
+                min(ref, max(fresh, BASELINE_TIGHTEN_CAP * ref)), 2
             )
     return drift
 
