@@ -116,3 +116,59 @@ def test_new_query_has_no_reference():
     results = {"q": {"longest_task_sec": 3.0}}
     assert bench_sf1._apply_drift_guard(results, {}) == {}
     assert results["q"]["baseline_longest_task_sec"] == 3.0
+
+
+def test_stall_on_raw_max_only_is_discounted():
+    # round 11: the raw max drifts 3x but the second-longest stage max
+    # holds — one task absorbed a host freeze, not a decomposition
+    # change.  Green, baselines untouched, discount recorded.
+    results = {"q": {"longest_task_sec": 9.9, "longest_task2_sec": 3.1}}
+    prev = {"q": {
+        "baseline_longest_task_sec": 3.3, "longest_task_sec": 3.3,
+        "baseline_longest_task2_sec": 3.0, "longest_task2_sec": 3.0,
+    }}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+    assert results["q"]["baseline_longest_task_sec"] == 3.3
+    assert results["q"]["baseline_longest_task2_sec"] == 3.0
+    assert results["q"]["stall_discounted"]["longest_task_sec"] == 9.9
+
+
+def test_drift_confirmed_by_second_max_still_flags():
+    # a genuine decomposition change lengthens every iteration's stage:
+    # both statistics blow their bounds -> the flag survives
+    results = {"q": {"longest_task_sec": 9.9, "longest_task2_sec": 9.0}}
+    prev = {"q": {
+        "baseline_longest_task_sec": 3.3, "longest_task_sec": 3.3,
+        "baseline_longest_task2_sec": 3.0, "longest_task2_sec": 3.0,
+    }}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert "q" in drift and drift["q"]["ratio"] == 3.0
+    assert results["q"]["baseline_longest_task_sec"] == 3.3  # sticky
+
+
+def test_no_runner_up_reference_keeps_raw_semantics():
+    # single-heavy-stage queries (or legacy files without the max2
+    # field) cannot confirm -> the raw-max flag stands, as before
+    results = {"q": {"longest_task_sec": 9.9, "longest_task2_sec": 0.0}}
+    prev = {"q": {"baseline_longest_task_sec": 3.3, "longest_task_sec": 3.3}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert "q" in drift
+
+
+def test_green_run_records_and_tightens_second_max():
+    results = {"q": {"longest_task_sec": 1.0, "longest_task2_sec": 0.9}}
+    prev = {"q": {"baseline_longest_task_sec": 1.1, "longest_task_sec": 1.1}}
+    assert bench_sf1._apply_drift_guard(results, prev) == {}
+    # first sighting of a runner-up: recorded as its reference
+    assert results["q"]["baseline_longest_task2_sec"] == 0.9
+    # next green run tightens it damped, never loosens
+    nxt = {"q": {"longest_task_sec": 1.0, "longest_task2_sec": 0.5}}
+    assert bench_sf1._apply_drift_guard(nxt, results) == {}
+    assert nxt["q"]["baseline_longest_task2_sec"] == round(
+        bench_sf1.BASELINE_TIGHTEN_CAP * 0.9, 2
+    )
+    slow = {"q": {"longest_task_sec": 1.0, "longest_task2_sec": 1.2}}
+    assert bench_sf1._apply_drift_guard(slow, nxt) == {}
+    assert slow["q"]["baseline_longest_task2_sec"] == nxt["q"][
+        "baseline_longest_task2_sec"
+    ]
