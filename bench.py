@@ -408,6 +408,12 @@ HEADLINE = [
     "run_batch_fragments_verified",
     # round 9: the stats-family fragment batch digest
     "run_batch_stats_verified",
+    # round 11 additions (queries/round11.py)
+    "adamic_adar_link_prediction",
+    "assoc_rules_copurchase",
+    "mutual_information_lang_source",
+    "calibration_ece_classifier",
+    "holt_linear_monthly_revenue",
 ]
 
 

@@ -58,7 +58,10 @@ def _bucket_weight(bucket: Column) -> Column:
 
 
 def quality_classifier(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Score every document with the hashed linear classifier.
 
@@ -66,6 +69,10 @@ def quality_classifier(
     ``margin`` is the exact integer weight sum, ``quality_score`` is
     ``sigmoid(ALPHA * margin / (n_tokens * HALF))`` rounded to 6
     digits, and ``keep`` requires a non-empty document scoring ≥ 0.5.
+
+    *passthrough* columns of *df* are appended verbatim, so a caller
+    can carry labels or metadata through the scoring projection
+    without a second scan + re-join (round 11: the calibration audit).
 
     Map-only: tokenize → hash → weight → sum are all Column
     expressions; no shuffle, no Python, no model broadcast.
@@ -91,4 +98,5 @@ def quality_classifier(
         margin.alias("margin"),
         F.when(n > 0, score).otherwise(F.lit(0.5)).alias("quality_score"),
         ((n > 0) & (F.when(n > 0, score).otherwise(F.lit(0.5)) >= 0.5)).alias("keep"),
+        *[F.col(c) for c in passthrough],
     )

@@ -358,6 +358,7 @@ SINGLE_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
 #: volume.
 LOWCARD_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
     "chi_square_priority_status": (2, "marginal windows over the (priority × status) contingency grain, ≤ 15 rows"),
+    "mutual_information_lang_source": (2, "marginal windows over the (lang × source) joint grain, ≤ |langs|·|sources| rows — the fact aggregates away in the groupBy BEFORE the windows"),
     "resample_gapfill_events": (1, "per-type gap-fill over 15-minute calendar buckets; |buckets| rows"),
     "revenue_share_within_region": (1, "share-of-total over the NATION-grain rollup, 25 rows"),
     "theil_sen_region_monthly": (2, "median-of-slopes over month-pair grain per region, calendar-bounded (|months|²/2)"),
