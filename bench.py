@@ -414,6 +414,9 @@ HEADLINE = [
     "mutual_information_lang_source",
     "calibration_ece_classifier",
     "holt_linear_monthly_revenue",
+    "correlation_matrix_lineitem",
+    "embedding_split_contamination",
+    "ndcg_retrieval_eval",
 ]
 
 

@@ -410,9 +410,10 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
 #: ECE, Holt linear smoothing) are never-verified, so rule 2 of
 #: ``_ordered_names`` places them right after this priority block
 #: automatically.  The other 42 slots fall through to the freshness
-#: rule: oldest-driver-green first, which clears most of the remaining
+#: rule: oldest-driver-green first, which clears the ENTIRE remaining
 #: r5-latest tail (39 oracled rows, enumerated in SURVEY §7 round-10
-#: notes); the few r5 rows that miss this window lead the r12 one.
+#: notes) plus the 3 oldest r6 rows; after r11 no oracled row's
+#: latest driver green predates round 6.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # changed plan + changed oracle: strict reference parity for the
     # official-mode flat list (the DATASUS branch now re-derives the

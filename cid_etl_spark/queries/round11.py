@@ -617,3 +617,347 @@ def holt_linear_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast_2", 4).alias("forecast_2"),
         F.round("forecast_3", 4).alias("forecast_3"),
     ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix in one exact-arithmetic pass
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    units = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS {c}" for c in cols
+    )
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum({c}) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            # per-row BIGINT product (<=1e14, fits int64); DuckDB's
+            # sum(BIGINT) widens to HUGEINT, so the moment is exact
+            moments.append(f"sum({a} * {b}) AS p_{a}_{b}")
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            branches.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n_rows,
+         round((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)
+                - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)
+                       - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)
+                         - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+               6) AS corr
+  FROM m""")
+    return (
+        "WITH u AS (\n  SELECT " + units + "\n  FROM lineitem\n),"
+        + "\nm AS (\n  SELECT " + ",\n         ".join(moments)
+        + "\n  FROM u\n)" + "\n  UNION ALL".join(branches)
+    )
+
+
+@_register("correlation_matrix_lineitem", _corr_matrix_sql())
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation matrix over the lineitem numeric
+    columns (quantity, extendedprice, discount, tax) — the standard
+    profiling sweep before feature selection, computed in ONE
+    aggregate pass: every pairwise correlation is a closed form over
+    {n, sum(x), sum(x*y)}, so k columns need k + k(k+1)/2 moment
+    aggregates in a single map-side-combined reduction, NOT k²
+    passes.  The 6 output rows unpivot from the one moment row.
+
+    Exactness discipline: values snap to integer HUNDREDTHS (the
+    fixture data is exact at 2 dp), per-row products stay inside
+    int64, and the moment SUMS widen exactly — DECIMAL(38,0) on the
+    Spark side, DuckDB's automatic BIGINT->HUGEINT — so every moment
+    is order-insensitive exact arithmetic across engines and
+    partitionings.  Pearson is scale-invariant, so the x100 units
+    cancel; float enters only in the final closed form — a fixed
+    sequence of ~8 double ops per pair, identical op-for-op in the
+    DuckDB oracle, rounded once at 6 dp."""
+    cols = _CORR_COLS
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * 100).cast("long").alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
+                    f"p_{a}_{b}"
+                )
+            )
+    m0 = li.agg(*aggs)
+
+    def d(name: str):
+        return F.col(name).cast("double")
+
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = d("n") * d(f"p_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+            den = F.sqrt(
+                (d("n") * d(f"p_{a}_{a}") - d(f"s_{a}") * d(f"s_{a}"))
+                * (d("n") * d(f"p_{b}_{b}") - d(f"s_{b}") * d(f"s_{b}"))
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").cast("long").alias("n_rows"),
+                    F.round(num / den, 6).alias("corr"),
+                )
+            )
+    return m0.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space cross-split contamination check
+# ---------------------------------------------------------------------------
+
+#: Rounded-cosine threshold above which a holdout vector counts as
+#: contaminated by (≈ memorizable from) its nearest training vector.
+_CONTAM_THRESHOLD = 0.98
+#: md5-hex threshold assigning ~20% of vec_ids to the holdout side —
+#: same split idiom as holdout_split_documents (stable under reruns
+#: and corpus growth).
+_CONTAM_HOLDOUT_HEX = "3333333333333333333333333333333333"
+
+_CONTAM_SQL = f"""
+WITH split AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         md5(CAST(vec_id AS VARCHAR)) < '{_CONTAM_HOLDOUT_HEX}' AS is_holdout
+  FROM embeddings
+),
+scored AS (
+  SELECT h.vec_id, t.vec_id AS train_id,
+         round(list_cosine_similarity(h.v, t.v), 4) AS cosine
+  FROM split h JOIN split t ON h.is_holdout AND NOT t.is_holdout
+)
+SELECT vec_id, train_id AS nearest_train_id, cosine AS max_cosine,
+       cosine >= {_CONTAM_THRESHOLD} AS contaminated
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cosine DESC, train_id) = 1
+ORDER BY vec_id
+"""
+
+
+@_register("embedding_split_contamination", _CONTAM_SQL)
+def embedding_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/holdout contamination audit: for every
+    holdout vector (md5 split, ~20%), the nearest TRAINING vector by
+    cosine and a contamination flag at >= {thr} — the embedding-side
+    complement of the n-gram `cross_split_contamination` row (exact
+    string overlap misses paraphrases; cosine neighbors catch them).
+
+    Scale shape: the holdout side of an eval split is the SMALL side
+    by construction, so it broadcasts and the training corpus streams
+    once — per-partition partial argmax (max over a (cosine, -id)
+    struct), then one holdout-keyed reduction; no all-pairs shuffle
+    materializes.  At corpus scale, pre-filter the training stream
+    through the IVF/LSH cells of each holdout vector (the registered
+    ANN rows) and this query's reduction is unchanged.  Ordering uses
+    the ROUNDED cosine (4 dp, the cross-engine-stable precedent of
+    embedding_neardup_exact) with the train id as tiebreak, so the
+    argmax is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (
+            F.md5(F.col("vec_id").cast("string")) < _CONTAM_HOLDOUT_HEX
+        ).alias("is_holdout"),
+    )
+    holdout = emb.filter("is_holdout").select(
+        F.col("vec_id").alias("h_id"), F.col("v").alias("hv")
+    )
+    train = emb.filter(~F.col("is_holdout")).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tv")
+    )
+    from cid_etl_spark.functions.vectors import cosine_similarity
+
+    scored = train.join(F.broadcast(holdout)).select(
+        "h_id",
+        "train_id",
+        F.round(cosine_similarity("hv", "tv"), 4).alias("cosine"),
+    )
+    best = scored.groupBy("h_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("train_id")).alias("neg_id"))).alias(
+            "top"
+        )
+    )
+    return best.select(
+        F.col("h_id").alias("vec_id"),
+        (-F.col("top.neg_id")).cast("long").alias("nearest_train_id"),
+        F.col("top.cosine").alias("max_cosine"),
+        (F.col("top.cosine") >= _CONTAM_THRESHOLD).alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality evaluation: NDCG / precision / MRR over BM25@20
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 20
+_NDCG_TERMS = ("data", "query", "index")
+#: A document is relevant iff it contains at least this many distinct
+#: query terms.  2-of-3, not all-3: the synthetic corpus has ZERO
+#: all-three documents at every fixture scale (measured), and an eval
+#: with an empty relevant set is vacuous; >=2 gives a few hundred
+#: relevant docs at sf0.01, so the metrics discriminate.
+_NDCG_MIN_TERMS = 2
+
+_NDCG_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0
+), dl AS (
+    SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM tok WHERE term IN ('data', 'query', 'index')
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), rel AS (
+    SELECT doc_id, count(DISTINCT term) >= 2 AS relevant FROM tf GROUP BY doc_id
+), ranked AS (
+    SELECT t.doc_id,
+           round(sum(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl))
+           ), 4) AS bm25
+    FROM tf t
+    JOIN df d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+), top AS (
+    SELECT r.doc_id, rel.relevant,
+           row_number() OVER (ORDER BY r.bm25 DESC, r.doc_id) AS pos
+    FROM ranked r JOIN rel USING (doc_id)
+    QUALIFY pos <= {_NDCG_K}
+), n_rel AS (SELECT count(*) AS n FROM rel WHERE relevant),
+ideal AS (
+    SELECT i, 1.0 / (ln(i + 1) / ln(2)) AS gain FROM range(1, {_NDCG_K} + 1) r(i)
+),
+idcg AS (
+    SELECT round(sum(gain), 6) AS v
+    FROM ideal CROSS JOIN n_rel
+    WHERE i <= greatest(least(n_rel.n, {_NDCG_K}), 1)
+)
+SELECT CAST(n_rel.n AS BIGINT) AS n_relevant,
+       CAST(sum(CASE WHEN t.relevant THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+       round(sum(CASE WHEN t.relevant THEN 1.0 / (ln(t.pos + 1) / ln(2)) ELSE 0 END), 6)
+           AS dcg,
+       idcg.v AS idcg,
+       round(sum(CASE WHEN t.relevant THEN 1.0 / (ln(t.pos + 1) / ln(2)) ELSE 0 END)
+             / idcg.v, 6) AS ndcg,
+       round(CAST(sum(CASE WHEN t.relevant THEN 1 ELSE 0 END) AS DOUBLE)
+             / {_NDCG_K}, 6) AS precision_at_k,
+       round(coalesce(1.0 / min(CASE WHEN t.relevant THEN t.pos END), 0.0), 6)
+           AS mrr
+FROM top t CROSS JOIN n_rel CROSS JOIN idcg
+GROUP BY n_rel.n, idcg.v
+"""
+
+
+@_register("ndcg_retrieval_eval", _NDCG_SQL)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics for the BM25 stack: NDCG@20,
+    precision@20 and MRR of `bm25_search_documents`'s ranking,
+    judged against a deterministic relevance label (a document is
+    relevant iff it contains at least :data:`_NDCG_MIN_TERMS` of the
+    query terms — an engine-replayable proxy with a non-vacuous
+    relevant set at every fixture scale).  A training-data pipeline that mines
+    hard negatives or builds retrieval corpora needs its ranker
+    AUDITED, not assumed; this is the standing eval row.
+
+    Scale: the scoring plan is bm25_search_documents' (corpus stats
+    fold to one row, dfs broadcast, top-k is a heap); the eval adds a
+    relevance flag on the query-term tf table (query-sized, not
+    corpus-sized), a window over K=20 rows, and an IDCG computed from
+    a literal sequence — nothing fact-scale shuffles.  Binary
+    relevance keeps DCG terms engine-exact (1/log2(pos+1) over
+    integer positions)."""
+    from cid_etl_spark.plans.fragments import token_stream
+
+    tok = token_stream(spark, sf_dir).select("doc_id", F.col("tok").alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_NDCG_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    rel = tf.groupBy("doc_id").agg(
+        (F.count_distinct("term") >= _NDCG_MIN_TERMS).alias("relevant")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    ranked = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    top = (
+        ranked.join(rel, "doc_id")
+        .select("doc_id", "relevant", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= _NDCG_K)
+    )
+    n_rel = rel.filter("relevant").agg(F.count(F.lit(1)).alias("n"))
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg_term = F.when(F.col("relevant"), 1.0 / log2(F.col("pos") + 1)).otherwise(
+        F.lit(0.0)
+    )
+    agg = top.crossJoin(F.broadcast(n_rel)).groupBy("n").agg(
+        F.sum(F.when(F.col("relevant"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+        F.round(F.sum(dcg_term), 6).alias("dcg"),
+        F.sum(dcg_term).alias("_dcg_raw"),
+        F.min(F.when(F.col("relevant"), F.col("pos"))).alias("_first_hit"),
+    )
+    # IDCG over the literal 1..min(n_relevant, K) sequence
+    idcg_raw = F.aggregate(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.least(F.col("n"), F.lit(_NDCG_K)), F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / log2(i.cast("double") + 1),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_relevant"),
+        "hits_at_k",
+        "dcg",
+        F.round(idcg_raw, 6).alias("idcg"),
+        F.round(F.col("_dcg_raw") / F.round(idcg_raw, 6), 6).alias("ndcg"),
+        F.round(F.col("hits_at_k").cast("double") / _NDCG_K, 6).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.coalesce(1.0 / F.col("_first_hit").cast("double"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

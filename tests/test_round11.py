@@ -217,3 +217,87 @@ def test_classifier_passthrough_columns(spark):
     ext = quality_classifier(df, passthrough=("label",))
     assert ext.columns == base.columns + ["label"]
     assert ext.collect()[0].label == 1
+
+
+def test_correlation_matrix_matches_numpy(spark, duck):
+    """Pearson from the one-pass exact moments must equal numpy's
+    corrcoef on the raw columns."""
+    import numpy as np
+
+    from cid_etl_spark.queries.round11 import (
+        _CORR_COLS,
+        correlation_matrix_lineitem,
+    )
+
+    raw = duck.execute(
+        f"SELECT {', '.join(_CORR_COLS)} FROM lineitem"
+    ).fetchnumpy()
+    # snap to the same integer hundredths the query uses
+    mat = np.vstack([np.round(raw[c] * 100) for c in _CORR_COLS])
+    expected = np.corrcoef(mat)
+    rows = correlation_matrix_lineitem(spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    for r in rows:
+        assert r.n_rows == mat.shape[1]
+        assert r.corr == pytest.approx(
+            expected[idx[r.col_a], idx[r.col_b]], abs=1e-5
+        )
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+def test_embedding_contamination_bruteforce(spark, duck):
+    """Every holdout vector's reported neighbor must be the true
+    cosine argmax over the train side (rounded-cosine ordering, train
+    id tiebreak), and split sides must not overlap."""
+    import numpy as np
+
+    from cid_etl_spark.queries.round11 import (
+        _CONTAM_HOLDOUT_HEX,
+        embedding_split_contamination,
+    )
+    import hashlib
+
+    rows = duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    vecs = {vid: np.asarray(v, dtype="float64") for vid, v in rows}
+    is_holdout = {
+        vid: hashlib.md5(str(vid).encode()).hexdigest() < _CONTAM_HOLDOUT_HEX
+        for vid in vecs
+    }
+    train = [v for v in vecs if not is_holdout[v]]
+    got = embedding_split_contamination(spark, SF_SMOKE).collect()
+    assert {r.vec_id for r in got} == {v for v in vecs if is_holdout[v]}
+    for r in got[:25]:  # spot-check a prefix, full set is oracle-checked
+        hv = vecs[r.vec_id]
+        best = max(
+            train,
+            key=lambda t: (
+                round(
+                    float(
+                        np.dot(hv, vecs[t])
+                        / (np.linalg.norm(hv) * np.linalg.norm(vecs[t]))
+                    ),
+                    4,
+                ),
+                -t,
+            ),
+        )
+        assert r.nearest_train_id == best
+        assert not is_holdout[r.nearest_train_id]
+
+
+def test_ndcg_metrics_are_consistent(spark):
+    """Metric identities: dcg <= idcg (so ndcg <= 1), hits bound
+    precision, mrr consistent with the first hit's position."""
+    from cid_etl_spark.queries.round11 import _NDCG_K, ndcg_retrieval_eval
+
+    row = ndcg_retrieval_eval(spark, SF_SMOKE).collect()[0]
+    assert row.n_relevant > 0, "relevance label must not be vacuous"
+    assert 0 <= row.hits_at_k <= _NDCG_K
+    assert row.dcg <= row.idcg + 1e-9
+    assert 0.0 <= row.ndcg <= 1.0 + 1e-9
+    assert row.precision_at_k == pytest.approx(row.hits_at_k / _NDCG_K, abs=1e-6)
+    if row.hits_at_k == 0:
+        assert row.mrr == 0.0
+    else:
+        assert 1.0 / _NDCG_K <= row.mrr <= 1.0

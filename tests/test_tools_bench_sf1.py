@@ -172,3 +172,52 @@ def test_green_run_records_and_tightens_second_max():
     assert slow["q"]["baseline_longest_task2_sec"] == nxt["q"][
         "baseline_longest_task2_sec"
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round 11: in-run arbitration — retry trigger + final guard semantics
+# ---------------------------------------------------------------------------
+
+
+def test_drift_suspect_triggers_on_bound_and_drift():
+    prev = {"q": {"baseline_longest_task_sec": 4.0}}
+    # over the drift bound vs baseline -> retry
+    assert bench_sf1._drift_suspect("q", {"longest_task_sec": 10.0}, prev)
+    # inside the bound -> no retry
+    assert not bench_sf1._drift_suspect("q", {"longest_task_sec": 5.0}, prev)
+    # over the absolute task bound -> retry even with no baseline
+    big = {"longest_task_sec": bench_sf1.TASK_BOUND_SEC + 1}
+    assert bench_sf1._drift_suspect("new_row", big, {})
+    # new row, small -> no retry
+    assert not bench_sf1._drift_suspect("new_row", {"longest_task_sec": 2.0}, {})
+
+
+def test_drift_suspect_respects_absolute_floor():
+    # a sub-second baseline swinging past the ratio but under the
+    # absolute delta floor is scheduler noise, not a retry trigger
+    prev = {"q": {"baseline_longest_task_sec": 0.5}}
+    assert not bench_sf1._drift_suspect("q", {"longest_task_sec": 1.2}, prev)
+
+
+def test_stall_discount_still_guards_after_retries():
+    """The runner-up confirmation layer sits BEHIND the retries: a
+    drift that survives min-of-3 but whose runner-up stage holds is
+    recorded stall_discounted, baselines untouched."""
+    results = {"q": {"longest_task_sec": 12.0, "longest_task2_sec": 4.0,
+                     "retries": 2}}
+    prev = {"q": {"baseline_longest_task_sec": 4.7,
+                  "baseline_longest_task2_sec": 4.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert drift == {}
+    assert "stall_discounted" in results["q"]
+    assert results["q"]["baseline_longest_task_sec"] == 4.7
+
+
+def test_confirmed_drift_after_retries_flags_sticky():
+    results = {"q": {"longest_task_sec": 12.0, "longest_task2_sec": 11.0,
+                     "retries": 2}}
+    prev = {"q": {"baseline_longest_task_sec": 4.7,
+                  "baseline_longest_task2_sec": 4.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev)
+    assert "q" in drift
+    assert results["q"]["baseline_longest_task_sec"] == 4.7  # sticky

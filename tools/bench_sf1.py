@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 import urllib.request
@@ -128,6 +129,21 @@ DRIFT_MIN_ABS_SEC = 1.0
 #: (ADVICE r10 #2): green runs never loosen the reference upward —
 #: that path goes through --accept-drift exclusively.
 BASELINE_TIGHTEN_CAP = 0.8
+#: In-run arbitration (round 11): when a query's fresh longest task
+#: exceeds the drift bound against its baseline, the guard re-measures
+#: that query up to this many extra times (cache cleared between runs)
+#: and judges the run with the SMALLEST longest task.  Rationale:
+#: stall noise is strictly one-sided and multi-second host freezes on
+#: this machine defeat every single-run order statistic that was
+#: tried — raw max (4.7/17.8/27.5 s across standalone runs of
+#: identical code+data), runner-up stage max (3.5/3.9/18.1 s — a
+#: freeze spans stages), stage-max median (1.14-2.97 s) and stage-max
+#: min (0.19-0.94 s, the non-trivial stage set itself shifts run to
+#: run).  A stall cannot survive the min of three tries; a genuine
+#: decomposition change reproduces in all three.  This automates the
+#: standing "fresh-session A/B before believing a flag" convention
+#: and is paid ONLY by rows that flagged.
+DRIFT_RETRIES = 2
 
 
 def generate_sf1(spark) -> None:
@@ -198,7 +214,17 @@ def _task_stats(ui: str, app: str, new_ids: set[int], stages: dict):
     (one identical-shape stage per round) lengthens EVERY round's max.
     Measured on dedup_clusters_documents at sf1: raw maxes swung
     4.46-11.51 s across three standalone runs of identical code+data
-    while walls held 35-38 s."""
+    while walls held 35-38 s.
+
+    Also returns the MEDIAN of the per-stage maxes and the stage
+    count: for an iterative query (one near-identical stage per
+    round, ~30-50 non-trivial stages), a host freeze inflates the max
+    of the 1-2 stages it lands in — the round-11 arbitration measured
+    raw maxes of 4.7/17.8/27.5 s AND runner-ups of 3.5/3.9/18.1 s on
+    identical code+data, so a long-enough freeze defeats the
+    runner-up confirmation too.  The median stage-max is immune to
+    any stall that hits a minority of rounds, while a genuine task-
+    decomposition change lengthens EVERY round and moves it."""
     worst, spill = 1.0, 0
     maxes: list[float] = []
     for sid in new_ids:
@@ -223,7 +249,28 @@ def _task_stats(ui: str, app: str, new_ids: set[int], stages: dict):
     maxes.sort()
     longest = maxes[-1] if maxes else 0.0
     second = maxes[-2] if len(maxes) >= 2 else 0.0
-    return worst, longest, second, spill
+    stage_median = statistics.median(maxes) if maxes else 0.0
+    stage_min = maxes[0] if maxes else 0.0
+    return worst, longest, second, spill, stage_median, stage_min, len(maxes)
+
+
+def _drift_suspect(name: str, r: dict, prev: dict) -> bool:
+    """Pure retry trigger for the in-run arbitration: the fresh
+    longest task either exceeds the drift bound against the committed
+    baseline (same predicate as _apply_drift_guard's primary check) or
+    sits over the absolute TASK_BOUND.  Kept side-effect-free so the
+    retry policy is unit-testable without Spark."""
+    if r["longest_task_sec"] > TASK_BOUND_SEC:
+        return True
+    p = prev.get(name, {})
+    ref = p.get("baseline_longest_task_sec", p.get("longest_task_sec"))
+    fresh = r["longest_task_sec"]
+    return bool(
+        ref
+        and ref > 0.25
+        and fresh > DRIFT_BOUND * ref
+        and fresh - ref > DRIFT_MIN_ABS_SEC
+    )
 
 
 def _apply_drift_guard(
@@ -350,6 +397,36 @@ def main() -> int:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    prev: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prev = json.load(f).get("queries", {})
+        except Exception:
+            prev = {}
+
+    def measure(name, fn) -> dict:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        seen = set(_completed(ui, app))
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        stages = _completed(ui, app)
+        skew, longest, second, spill, stage_med, stage_min, n_stages = _task_stats(
+            ui, app, set(stages) - seen, stages
+        )
+        return {
+            "wall_sec": round(wall, 2),
+            "max_over_median_task": round(skew, 1),
+            "longest_task_sec": round(longest, 2),
+            "longest_task2_sec": round(second, 2),
+            "stage_max_median_sec": round(stage_med, 2),
+            "stage_max_min_sec": round(stage_min, 2),
+            "n_stages": n_stages,
+            "spill_mb": round(spill / 1e6, 1),
+        }
+
     results: dict[str, dict] = {}
     runs: list[tuple[str, callable]] = [
         (n, (lambda q=n: noop(queries[q](spark, SF1_DIR)))) for n in QUERIES
@@ -362,23 +439,20 @@ def main() -> int:
         for n, spec in BUCKETED_BATCHES.items()
     ]
     for name, fn in runs:
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        seen = set(_completed(ui, app))
-        t0 = time.perf_counter()
-        fn()
-        wall = time.perf_counter() - t0
-        stages = _completed(ui, app)
-        skew, longest, second, spill = _task_stats(
-            ui, app, set(stages) - seen, stages
-        )
-        results[name] = {
-            "wall_sec": round(wall, 2),
-            "max_over_median_task": round(skew, 1),
-            "longest_task_sec": round(longest, 2),
-            "longest_task2_sec": round(second, 2),
-            "spill_mb": round(spill / 1e6, 1),
-        }
+        r = measure(name, fn)
+        # In-run arbitration (see DRIFT_RETRIES): a drift- or
+        # bound-suspect measurement is re-taken up to twice and the
+        # best (min longest-task) run is judged — a host stall cannot
+        # survive three tries, a real decomposition change can.
+        tries = 0
+        while tries < DRIFT_RETRIES and _drift_suspect(name, r, prev):
+            tries += 1
+            r2 = measure(name, fn)
+            if r2["longest_task_sec"] < r["longest_task_sec"]:
+                r = r2
+        if tries:
+            r["retries"] = tries
+        results[name] = r
         print(f"# {name}: {results[name]}", flush=True)
 
     violations = sorted(
@@ -387,13 +461,6 @@ def main() -> int:
         if r["longest_task_sec"] > TASK_BOUND_SEC
         or r["max_over_median_task"] > SKEW_BOUND
     )
-    prev: dict[str, dict] = {}
-    if os.path.exists(OUT):
-        try:
-            with open(OUT) as f:
-                prev = json.load(f).get("queries", {})
-        except Exception:
-            prev = {}
     drift = _apply_drift_guard(results, prev, accept_drift)
     payload = {
         "sf": 1.0,
