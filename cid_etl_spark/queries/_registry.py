@@ -405,15 +405,16 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
 #: changed); (2) run_batch's bucket_facts heuristic (VERDICT r10 #5,
 #: plans/batch.py — inert at fixture scale by the size gate, but the
 #: two batch digest rows re-verify the machinery anyway).  The round's
-#: 5 NEW queries (queries/round11.py: Adamic-Adar link prediction,
+#: 8 NEW queries (queries/round11.py: Adamic-Adar link prediction,
 #: association rules, mutual information, classifier calibration
-#: ECE, Holt linear smoothing) are never-verified, so rule 2 of
-#: ``_ordered_names`` places them right after this priority block
-#: automatically.  The other 42 slots fall through to the freshness
-#: rule: oldest-driver-green first, which clears the ENTIRE remaining
-#: r5-latest tail (39 oracled rows, enumerated in SURVEY §7 round-10
-#: notes) plus the 3 oldest r6 rows; after r11 no oracled row's
-#: latest driver green predates round 6.
+#: ECE, Holt linear smoothing, Pearson correlation matrix, embedding
+#: split contamination, NDCG retrieval eval) are never-verified, so
+#: rule 2 of ``_ordered_names`` places them right after this priority
+#: block automatically.  The remaining 39 slots fall through to the
+#: freshness rule: oldest-driver-green first, which clears the ENTIRE
+#: remaining r5-latest tail (39 oracled rows, enumerated in SURVEY §7
+#: round-10 notes) — exactly 50; after r11 no oracled row's latest
+#: driver green predates round 6.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # changed plan + changed oracle: strict reference parity for the
     # official-mode flat list (the DATASUS branch now re-derives the

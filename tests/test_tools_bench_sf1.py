@@ -221,3 +221,41 @@ def test_confirmed_drift_after_retries_flags_sticky():
     drift = bench_sf1._apply_drift_guard(results, prev)
     assert "q" in drift
     assert results["q"]["baseline_longest_task_sec"] == 4.7  # sticky
+
+
+def test_ambient_wall_drift_median_and_cap():
+    prev = {f"q{i}": {"wall_sec": 10.0} for i in range(5)}
+    # uniform 1.2x session -> raw 1.2, effective 1.2
+    res = {f"q{i}": {"wall_sec": 12.0} for i in range(5)}
+    raw, eff = bench_sf1._ambient_wall_drift(res, prev)
+    assert raw == eff == 1.2
+    # past the cap: effective collapses to 1.0 (arbitration mode)
+    res = {f"q{i}": {"wall_sec": 15.0} for i in range(5)}
+    raw, eff = bench_sf1._ambient_wall_drift(res, prev)
+    assert raw == 1.5 and eff == 1.0
+    # fast session floors at 1.0; sub-2s references never vote
+    res = {f"q{i}": {"wall_sec": 5.0} for i in range(5)}
+    raw, eff = bench_sf1._ambient_wall_drift(res, prev)
+    assert raw == eff == 1.0
+    raw, eff = bench_sf1._ambient_wall_drift(
+        {"q": {"wall_sec": 9.0}}, {"q": {"wall_sec": 1.0}}
+    )
+    assert raw == eff == 1.0  # no voters
+
+
+def test_ambient_scales_drift_threshold_but_not_baselines():
+    # 1.3x ambience: a 1.8x raw jump (inside 1.5*1.3=1.95) stays green
+    # and the baseline still never loosens
+    results = {"q": {"longest_task_sec": 9.0}}
+    prev = {"q": {"baseline_longest_task_sec": 5.0, "longest_task_sec": 5.0}}
+    drift = bench_sf1._apply_drift_guard(results, prev, ambient=1.3)
+    assert drift == {}
+    assert results["q"]["baseline_longest_task_sec"] == 5.0
+    # the same jump with no ambience flags
+    results2 = {"q": {"longest_task_sec": 9.0}}
+    drift2 = bench_sf1._apply_drift_guard(results2, prev)
+    assert "q" in drift2
+    # a jump past bound*ambient still flags on a slow session
+    results3 = {"q": {"longest_task_sec": 11.0}}
+    drift3 = bench_sf1._apply_drift_guard(results3, prev, ambient=1.3)
+    assert "q" in drift3

@@ -144,6 +144,22 @@ BASELINE_TIGHTEN_CAP = 0.8
 #: standing "fresh-session A/B before believing a flag" convention
 #: and is paid ONLY by rows that flagged.
 DRIFT_RETRIES = 2
+#: Session-ambience normalization for the drift guard, mirroring
+#: bench.py's ambient_drift (round 11): the median ratio of this
+#: run's WALLS to the committed artifact's walls over rows with >=2 s
+#: reference walls, floored at 1.0.  A uniformly slow host session
+#: (the r11 guard ran a median 1.33x over the artifact with the
+#: dedup-clusters prefix-replay probe landing back at baseline in a
+#: fresh session) inflates every longest task the same way; the
+#: drift threshold scales by the factor UP TO the cap.  Past the cap
+#: the run stops normalizing (compares raw) and the artifact carries
+#: ``requires_arbitration`` — identical semantics to bench.py's
+#: tripwire, so a genuine uniform regression cannot hide inside the
+#: compounded threshold.  Wall references are last-run observations,
+#: not sticky baselines: the longest-task baselines stay tighten-only
+#: regardless of ambience.
+AMBIENT_CAP = 1.35
+AMBIENT_VOTER_MIN_WALL_SEC = 2.0
 
 
 def generate_sf1(spark) -> None:
@@ -273,10 +289,23 @@ def _drift_suspect(name: str, r: dict, prev: dict) -> bool:
     )
 
 
+def _ambient_wall_drift(results: dict[str, dict], prev: dict[str, dict]):
+    """(uncapped median wall ratio vs the committed artifact over
+    stable voters, effective factor) — see AMBIENT_CAP."""
+    ratios = [
+        r["wall_sec"] / prev[n]["wall_sec"]
+        for n, r in results.items()
+        if prev.get(n, {}).get("wall_sec", 0) >= AMBIENT_VOTER_MIN_WALL_SEC
+    ]
+    raw = max(statistics.median(ratios), 1.0) if ratios else 1.0
+    return raw, (raw if raw <= AMBIENT_CAP else 1.0)
+
+
 def _apply_drift_guard(
     results: dict[str, dict],
     prev: dict[str, dict],
     accept_drift: bool = False,
+    ambient: float = 1.0,
 ) -> dict[str, dict]:
     """Round-over-round drift guard (VERDICT r8 #6): diff the fresh
     longest-task numbers against the committed reference and stamp
@@ -300,7 +329,7 @@ def _apply_drift_guard(
             not accept_drift
             and ref
             and ref > 0.25
-            and fresh > DRIFT_BOUND * ref
+            and fresh > DRIFT_BOUND * ambient * ref
             and fresh - ref > DRIFT_MIN_ABS_SEC
         )
         # Stall confirmation (round 11): when the raw max drifts but
@@ -315,7 +344,7 @@ def _apply_drift_guard(
         fresh2 = r.get("longest_task2_sec", 0.0)
         if primary and ref2 and ref2 > 0.25 and fresh2 > 0:
             confirmed = (
-                fresh2 > DRIFT_BOUND * ref2
+                fresh2 > DRIFT_BOUND * ambient * ref2
                 and fresh2 - ref2 > DRIFT_MIN_ABS_SEC
             )
         else:
@@ -461,8 +490,12 @@ def main() -> int:
         if r["longest_task_sec"] > TASK_BOUND_SEC
         or r["max_over_median_task"] > SKEW_BOUND
     )
-    drift = _apply_drift_guard(results, prev, accept_drift)
+    ambient_raw, ambient = _ambient_wall_drift(results, prev)
+    drift = _apply_drift_guard(results, prev, accept_drift, ambient)
     payload = {
+        "ambient_wall_drift": round(ambient, 3),
+        "ambient_wall_drift_raw": round(ambient_raw, 3),
+        "requires_arbitration": ambient_raw > AMBIENT_CAP,
         "sf": 1.0,
         "fixture": SF1_DIR,
         "task_bound_sec": TASK_BOUND_SEC,
@@ -484,6 +517,8 @@ def main() -> int:
                 "violations": violations,
                 "longest_task_drift": sorted(drift),
                 "stall_discounted": payload["stall_discounted"],
+                "ambient_wall_drift": round(ambient, 3),
+                "requires_arbitration": payload["requires_arbitration"],
                 "n": len(results),
             }
         )
