@@ -71,6 +71,8 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "oov_rate_by_split": ("token_stream",),
     "zipf_fit_tokens": ("token_stream",),
     "source_similarity_weighted_jaccard": ("token_stream",),
+    # round 11: the retrieval eval shares the bm25 token rollup input
+    "ndcg_retrieval_eval": ("token_stream",),
     "tfidf_top_terms": ("doc_term_counts",),
     "bm25_search_documents": ("bm25_scores",),
     "ccnet_quality_buckets": ("doc_term_counts",),
