@@ -417,6 +417,8 @@ HEADLINE = [
     "correlation_matrix_lineitem",
     "embedding_split_contamination",
     "ndcg_retrieval_eval",
+    "apriori_triples_copurchase",
+    "incremental_join_maintenance",
 ]
 
 

@@ -405,16 +405,18 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
 #: changed); (2) run_batch's bucket_facts heuristic (VERDICT r10 #5,
 #: plans/batch.py — inert at fixture scale by the size gate, but the
 #: two batch digest rows re-verify the machinery anyway).  The round's
-#: 8 NEW queries (queries/round11.py: Adamic-Adar link prediction,
+#: 10 NEW queries (queries/round11.py: Adamic-Adar link prediction,
 #: association rules, mutual information, classifier calibration
 #: ECE, Holt linear smoothing, Pearson correlation matrix, embedding
-#: split contamination, NDCG retrieval eval) are never-verified, so
-#: rule 2 of ``_ordered_names`` places them right after this priority
-#: block automatically.  The remaining 39 slots fall through to the
-#: freshness rule: oldest-driver-green first, which clears the ENTIRE
-#: remaining r5-latest tail (39 oracled rows, enumerated in SURVEY §7
-#: round-10 notes) — exactly 50; after r11 no oracled row's latest
-#: driver green predates round 6.
+#: split contamination, NDCG retrieval eval, Apriori triples,
+#: incremental join maintenance) are never-verified, so rule 2 of
+#: ``_ordered_names`` places them right after this priority block
+#: automatically.  The remaining 37 slots fall through to the
+#: freshness rule: oldest-driver-green first, clearing all but 2 of
+#: the 39-row r5-latest tail (the alphabetic stragglers
+#: target_encode_loo_orders + tokenizer_fertility_by_lang lead the
+#: r12 window); after r11 no oracled row's latest driver green
+#: predates round 5, and only those two predate round 6.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # changed plan + changed oracle: strict reference parity for the
     # official-mode flat list (the DATASUS branch now re-derives the

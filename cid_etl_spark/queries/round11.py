@@ -961,3 +961,166 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(1.0 / F.col("_first_hit").cast("double"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent 3-itemsets (candidate generation + downward-closure prune)
+# ---------------------------------------------------------------------------
+
+_APRIORI_MIN_SUPPORT = 2
+_APRIORI_TOP_K = 50
+
+#: The ORACLE is the direct 3-way basket join — deliberately NOT a
+#: replay of the Apriori plan: by downward closure the pruned
+#: candidate path must produce exactly the set the brute-force
+#: enumeration produces, so the oracle independently checks the
+#: algorithm, not just the arithmetic.
+_APRIORI_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, c.l_partkey AS item_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN items c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+HAVING count(*) >= {_APRIORI_MIN_SUPPORT}
+ORDER BY support DESC, item_a, item_b, item_c
+LIMIT {_APRIORI_TOP_K}
+"""
+
+
+@_register("apriori_triples_copurchase", _APRIORI_SQL)
+def apriori_triples_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets via the Apriori level-3
+    step: candidates are generated from the FREQUENT PAIRS (join L2
+    with itself on the shared first item, b < c), pruned by downward
+    closure (the third face (b, c) must itself be a frequent pair),
+    and only the survivors are counted against the baskets.  Top-50
+    by support.
+
+    This is the canonical distributed mining pattern the pair rows
+    (copurchase/assoc_rules) build toward: the naive 3-way basket
+    self-join blows up as basket-size³ × orders, while the Apriori
+    path bounds the counting join by |C3| — on a real retail corpus
+    orders of magnitude smaller, and each level is plain joins +
+    groupBys (no driver state).  The oracle is deliberately the
+    brute-force 3-way enumeration, NOT a replay: downward closure
+    guarantees set equality, so DuckDB independently checks the
+    ALGORITHM.  All values are exact integers."""
+    from cid_etl_spark.queries.curation import _copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # L2 = frequent pairs (support >= 2), a < b — the same definition
+    # as the co-purchase edge list.
+    l2 = _copurchase_edges(spark, sf_dir, min_support=_APRIORI_MIN_SUPPORT
+                           ).localCheckpoint(eager=False)
+    # C3: join L2 with itself on the first item; prune by the third
+    # face via a semi join (downward closure).
+    cand = (
+        l2.selectExpr("src AS a", "dst AS b")
+        .join(l2.selectExpr("src AS a", "dst AS c"), "a")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            l2.selectExpr("src AS b", "dst AS c"),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    # Count candidate support against the baskets: three item-keyed
+    # joins narrow the fact to candidate members only.
+    i1 = items.selectExpr("l_orderkey AS o", "l_partkey AS a")
+    i2 = items.selectExpr("l_orderkey AS o", "l_partkey AS b")
+    i3 = items.selectExpr("l_orderkey AS o", "l_partkey AS c")
+    support = (
+        cand.join(i1, "a")
+        .join(i2, ["o", "b"])
+        .join(i3, ["o", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _APRIORI_MIN_SUPPORT)
+    )
+    return (
+        support.select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+            F.col("support").cast("long").alias("support"),
+        )
+        .orderBy(F.col("support").desc(), "item_a", "item_b", "item_c")
+        .limit(_APRIORI_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join rule)
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1999-01-01 00:00:00"
+
+_IVM_JOIN_SQL = """
+SELECT n.n_name AS nation,
+       CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_register("incremental_join_maintenance", _IVM_JOIN_SQL)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOINED materialized view — the
+    delta-JOIN rule, the step beyond `incremental_agg_maintenance`'s
+    decomposable-aggregate merge: for V = R ⋈ S with a static
+    dimension side S, an insert batch ΔR maintains the view as
+    ΔV = ΔR ⋈ S — only the NEW fact rows are joined, then the partial
+    aggregates merge per key exactly as in the agg row.  The stored
+    state here is the pre-cutoff rollup (standing in for yesterday's
+    persisted view); the oracle is the full three-table recompute, so
+    the row proves merge(state, ΔR ⋈ S) == recompute(R ⋈ S) — the
+    contract that lets a 100 TB pipeline join one day's partition
+    against broadcast dims instead of re-joining years of facts.
+    (A changing dimension needs the symmetric rule
+    ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS, or SCD2 snapshots — out of scope for this
+    row; `scd2_point_in_time_join` covers the dimension-history
+    side.)  Sums are exact decimals; both join pipelines broadcast
+    the dims."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def joined_rollup(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(cust), fact["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(price).alias("rev_part"), F.count(F.lit(1)).alias("n_part"))
+        )
+
+    # "stored" view state: pre-cutoff joined rollup (in production this
+    # is read back from the state table; shape identical)
+    state = joined_rollup(o.filter(F.col("o_orderdate") < cutoff))
+    # delta-join rule: ONLY the new batch joins the dimensions
+    delta = joined_rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    from cid_etl_spark.operators.aggregates import money
+
+    merged = (
+        state.unionByName(delta)
+        .groupBy("n_name")
+        .agg(F.sum("rev_part").alias("rev"), F.sum("n_part").alias("n"))
+    )
+    return merged.select(
+        F.col("n_name").alias("nation"),
+        money(F.col("rev")).alias("revenue"),
+        F.col("n").cast("bigint").alias("n_orders"),
+    )

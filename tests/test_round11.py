@@ -301,3 +301,61 @@ def test_ndcg_metrics_are_consistent(spark):
         assert row.mrr == 0.0
     else:
         assert 1.0 / _NDCG_K <= row.mrr <= 1.0
+
+
+def test_apriori_triples_downward_closure_and_bruteforce(spark, duck):
+    """The Apriori path must equal brute-force triple enumeration
+    (downward closure makes the pruning lossless), and every reported
+    triple's three faces must be frequent pairs."""
+    from cid_etl_spark.queries.round11 import (
+        _APRIORI_MIN_SUPPORT,
+        _APRIORI_TOP_K,
+        apriori_triples_copurchase,
+    )
+
+    baskets = _baskets(duck)
+    triple: dict[tuple[int, int, int], int] = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                for k in range(j + 1, len(s)):
+                    triple[(s[i], s[j], s[k])] += 1
+    expected = sorted(
+        ((a, b, c, n) for (a, b, c), n in triple.items()
+         if n >= _APRIORI_MIN_SUPPORT),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )[:_APRIORI_TOP_K]
+
+    pairs = _edges_support2(duck)
+    got = apriori_triples_copurchase(spark, SF_SMOKE).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.support) for r in got] == expected
+    for r in got:
+        for face in ((r.item_a, r.item_b), (r.item_a, r.item_c),
+                     (r.item_b, r.item_c)):
+            assert face in pairs, "downward closure violated"
+
+
+def test_incremental_join_maintenance_equals_recompute(spark, duck):
+    """merge(state, delta-join) must equal the full three-table
+    recompute — the IVM contract itself."""
+    from cid_etl_spark.queries.round11 import incremental_join_maintenance
+
+    expected = {
+        n: (rev, cnt)
+        for n, rev, cnt in duck.execute(
+            """SELECT n.n_name,
+                      round(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2),
+                      count(*)
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY n.n_name"""
+        ).fetchall()
+    }
+    got = incremental_join_maintenance(spark, SF_SMOKE).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        rev, cnt = expected[r.nation]
+        assert r.n_orders == cnt
+        assert r.revenue == pytest.approx(float(rev), abs=1e-6)
