@@ -17,7 +17,11 @@ twice more and reported at its MEDIAN (runs kept in BENCH_DETAIL.json
 "reruns"), with regressions computed on the medians, so neither a
 one-off GC/codegen spike nor ambient session drift (~8-15% measured,
 VERDICT r6) can masquerade as a regression — round-4 methodology fix,
-widened in round 7.
+widened in round 7.  A query still flagged at its median then
+SELF-ARBITRATES (round 12): up to ARBITRATION_RETRIES extra fresh runs,
+judged at the MIN — the automated form of the standing fresh-session
+A/B convention (one-sided stall noise cannot survive the min; a real
+regression reproduces in every sample).
 
 Each query is fully materialized via the noop sink (count() can skip
 work; noop writes every row).  A warmup query amortizes JVM/codegen
@@ -89,6 +93,70 @@ _STEADY_STATE_BASELINE_SEC = 1.0
 _MEDIAN_THRESHOLD_SEC = float(
     os.environ.get("SPARK_GRAFT_BENCH_MEDIAN_SEC", "1.0")
 )
+
+#: In-run flag self-arbitration (VERDICT r11 #2, ported from the sf1
+#: guard's DRIFT_RETRIES): a query still flagged at its MEDIAN gets up
+#: to this many extra fresh measurements and is judged at the MIN of
+#: all its samples.  Host-stall noise on this machine is strictly
+#: one-sided (freezes only lengthen a run) and rotates across queries
+#: round to round — r11's two closing benches flagged DISJOINT sets on
+#: untouched plans, and every manual fresh-session A/B arbitrated
+#: ambient.  A stall cluster cannot survive the min of five tries; a
+#: genuine plan regression reproduces in all of them.  This automates
+#: the standing "fresh-session A/B before believing a flag" convention
+#: inside the run, paid only by rows that flagged at their median.
+ARBITRATION_RETRIES = 2
+
+
+def is_flagged(
+    name: str, t: float, baseline: "dict[str, float]", drift: float = 1.0
+) -> bool:
+    """True when *t* regresses vs its baseline at ambient *drift*:
+    ratio over REGRESSION_RATIO AND a non-trivial absolute delta
+    (sub-2 s baselines need a 1 s delta — their session band is
+    ±40-50%).  Module-level (not a main() closure) so the retry policy
+    is unit-testable without Spark (tests/test_tools_bench.py)."""
+    if name not in baseline or baseline[name] <= 0:
+        return False
+    eff = baseline[name] * drift
+    min_abs = (
+        _MIN_REGRESSION_ABS_SEC_SUB2
+        if baseline[name] < _SUB2_BASELINE_SEC
+        else _MIN_REGRESSION_ABS_SEC
+    )
+    return t > REGRESSION_RATIO * eff and t - eff > min_abs
+
+
+def arbitrate_flags(
+    flagged: "list[str]",
+    samples: "dict[str, list[float]]",
+    baseline: "dict[str, float]",
+    drift: float,
+    run_once,
+) -> "dict[str, dict]":
+    """Self-arbitrate each flagged query: while the MIN of its samples
+    still flags and retries remain, measure again.  Returns per-query
+    ``{"samples": [...], "judged_sec": min, "still_flagged": bool}`` —
+    the caller lists only still-flagged rows as regressions, so a
+    transient stall self-clears in-run while a reproducible regression
+    carries its full sample record for post-hoc audit (ADVICE r11 #5's
+    discarded-measurement concern, applied here from the start)."""
+    out: dict[str, dict] = {}
+    for name in flagged:
+        runs = list(samples.get(name, []))
+        tries = 0
+        while tries < ARBITRATION_RETRIES and is_flagged(
+            name, min(runs), baseline, drift
+        ):
+            runs.append(run_once(name))
+            tries += 1
+        out[name] = {
+            "samples": runs,
+            "judged_sec": min(runs),
+            "retries": tries,
+            "still_flagged": is_flagged(name, min(runs), baseline, drift),
+        }
+    return out
 
 #: Queries whose sf0.1 wall time is dominated by whole-stage-codegen
 #: COMPILATION, not execution, making their single-run numbers hostage
@@ -488,17 +556,6 @@ def main() -> None:
         :data:`_AMBIENT_DRIFT_CAP`)."""
         return raw if raw <= _AMBIENT_DRIFT_CAP else 1.0
 
-    def is_flagged(name: str, t: float, drift: float = 1.0) -> bool:
-        if name not in baseline or baseline[name] <= 0:
-            return False
-        eff = baseline[name] * drift
-        min_abs = (
-            _MIN_REGRESSION_ABS_SEC_SUB2
-            if baseline[name] < _SUB2_BASELINE_SEC
-            else _MIN_REGRESSION_ABS_SEC
-        )
-        return t > REGRESSION_RATIO * eff and t - eff > min_abs
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
@@ -536,7 +593,7 @@ def main() -> None:
         for n, t in timings.items()
         if t > _MEDIAN_THRESHOLD_SEC
         or baseline.get(n, _STEADY_STATE_BASELINE_SEC) < _STEADY_STATE_BASELINE_SEC
-        or is_flagged(n, t, drift)
+        or is_flagged(n, t, baseline, drift)
     ]:
         samples = [timings[name], run_once(name), run_once(name)]
         if max(samples) > 2 * min(samples):
@@ -550,14 +607,29 @@ def main() -> None:
     raw_drift = ambient_drift_raw(timings)
     drift = effective_drift(raw_drift)
     requires_arbitration = raw_drift > _AMBIENT_DRIFT_CAP
+    # Median-flagged rows self-arbitrate at the MIN of up to
+    # ARBITRATION_RETRIES extra fresh runs (VERDICT r11 #2); only rows
+    # whose min STILL flags are listed as regressions.  Totals keep the
+    # median values — arbitration changes the verdict, not the clock.
+    median_flagged = [
+        n for n, t in timings.items() if is_flagged(n, t, baseline, drift)
+    ]
+    arbitration = arbitrate_flags(
+        median_flagged,
+        {n: reruns.get(n, [timings[n]]) for n in median_flagged},
+        baseline,
+        drift,
+        run_once,
+    )
     regressions = sorted(
         (
-            {"query": n, "sec": t, "baseline_sec": baseline[n],
-             "ratio": round(t / baseline[n], 2),
+            {"query": n, "sec": a["judged_sec"],
+             "median_sec": timings[n], "baseline_sec": baseline[n],
+             "ratio": round(a["judged_sec"] / baseline[n], 2),
              "ambient_adjusted_baseline": round(baseline[n] * drift, 3),
-             "runs": reruns.get(n)}
-            for n, t in timings.items()
-            if is_flagged(n, t, drift)
+             "runs": a["samples"]}
+            for n, a in arbitration.items()
+            if a["still_flagged"]
         ),
         key=lambda r: -r["ratio"],
     )
@@ -572,6 +644,7 @@ def main() -> None:
         "ambient_drift_raw": round(raw_drift, 3),
         "requires_arbitration": requires_arbitration,
         "regressions": regressions,
+        "flag_arbitration": arbitration,
         "reruns": reruns,
     }
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")

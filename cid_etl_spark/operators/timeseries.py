@@ -31,6 +31,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: Hard per-group row bound for grouped Arrow recurrences (VERDICT r11
+#: #7).  ``applyInPandas`` materializes each group as ONE pandas frame
+#: in the Python worker, so the memory bound is the largest single
+#: group, not the partition size — at 128 GiB / 32 workers a ~100-byte
+#: row gives ~4 GiB per worker and 2M rows ≈ 200-400 MB plus pandas
+#: copies, a safe ceiling with headroom.  The registered consumers
+#: group at user/region grain (hundreds to thousands of rows at 100×
+#: fixture scale), so the cap is pure insurance: it turns a silent
+#: worker OOM on a future fact-grain misuse into an immediate,
+#: attributable error naming the oversized group.  Callers with a
+#: genuinely huge series should calendar-chunk and re-seed the
+#: recurrence from each chunk's last state (module docstring).
+MAX_GROUP_ROWS = 2_000_000
+
 
 def resample_ffill(
     df: DataFrame,
@@ -85,6 +99,7 @@ def ewma_by_key(
     value_col: str,
     alpha: float = 0.3,
     tiebreak: str | None = None,
+    max_group_rows: int = MAX_GROUP_ROWS,
 ) -> DataFrame:
     """Exact exponentially-weighted moving average per key, ordered by
     *ts_col* (ties broken by *tiebreak* for engine-independent order).
@@ -104,7 +119,17 @@ def ewma_by_key(
     ) + ", ewma double"
     order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
 
+    key_cols = list(keys)
+
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            key = {k: pdf[k].iloc[0] for k in key_cols}
+            raise ValueError(
+                f"ewma_by_key group {key} has {len(pdf)} rows, over the "
+                f"max_group_rows={max_group_rows} Arrow-frame bound — "
+                "calendar-chunk the series and re-seed the recurrence "
+                "(operators/timeseries.py module docstring)"
+            )
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         pdf["ewma"] = (
             pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)

@@ -389,6 +389,39 @@ _ROUND10_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the round-11 driver window hash-verified
+#: (CORRECTNESS_r11.json, 50/50 green): the 3 priority rows (golden +
+#: batch digests), the 10 new round-11 queries, and the 37-row fill
+#: that cleared all but two of the r5-latest tail.
+_ROUND11_VERIFIED: frozenset[str] = frozenset(
+    {
+        "adamic_adar_link_prediction", "aggregate_completeness_suite",
+        "anomaly_months_orders", "approx_topk_priorities",
+        "apriori_triples_copurchase", "assoc_rules_copurchase",
+        "audience_overlap_events", "benford_first_digit_orders",
+        "calibration_ece_classifier", "cid_pipeline_golden",
+        "copurchase_part_pairs", "correlation_matrix_lineitem",
+        "countmin_heavy_users_events", "cusum_changepoint_orders",
+        "data_quality_expectations", "dp_noised_counts",
+        "dup_family_size_histogram", "embedding_quantize_int8",
+        "embedding_split_contamination", "feature_hashing_documents",
+        "gdpr_erasure_cascade", "grouping_id_disambiguation",
+        "headdup_keep_longest", "holt_linear_monthly_revenue",
+        "incremental_join_maintenance", "interval_overlap_shipments",
+        "knn_label_vote_embeddings", "mad_outliers_events",
+        "media_audio_features", "multigrain_time_rollup",
+        "multiset_ops_orders", "mutual_information_lang_source",
+        "ndcg_retrieval_eval", "null_safe_join_counts", "ohlc_user_hourly",
+        "parse_url_suite", "pmi_bigrams_tokens", "pseudonymize_events",
+        "psi_drift_orders", "revenue_share_within_region",
+        "rolling_corr_daily_events", "run_batch_fragments_verified",
+        "run_batch_stats_verified", "salted_join_events_hot",
+        "seasonal_naive_mape_orders", "seasonality_index_orders",
+        "session_entropy_users", "source_similarity_weighted_jaccard",
+        "stream_dedup_admission", "stream_user_totals_stateful",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
@@ -396,37 +429,31 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
-    _ROUND10_VERIFIED,
+    _ROUND10_VERIFIED, _ROUND11_VERIFIED,
 )
 
-#: Round-11 driver window.  The round's production-plan changes:
-#: (1) official-mode flat-list STRICT PARITY (VERDICT r10 missing #1,
-#: plans/cid_pipeline.py — the golden row's plan AND oracle both
-#: changed); (2) run_batch's bucket_facts heuristic (VERDICT r10 #5,
-#: plans/batch.py — inert at fixture scale by the size gate, but the
-#: two batch digest rows re-verify the machinery anyway).  The round's
-#: 10 NEW queries (queries/round11.py: Adamic-Adar link prediction,
-#: association rules, mutual information, classifier calibration
-#: ECE, Holt linear smoothing, Pearson correlation matrix, embedding
-#: split contamination, NDCG retrieval eval, Apriori triples,
-#: incremental join maintenance) are never-verified, so rule 2 of
-#: ``_ordered_names`` places them right after this priority block
-#: automatically.  The remaining 37 slots fall through to the
-#: freshness rule: oldest-driver-green first, clearing all but 2 of
-#: the 39-row r5-latest tail (the alphabetic stragglers
-#: target_encode_loo_orders + tokenizer_fertility_by_lang lead the
-#: r12 window); after r11 no oracled row's latest driver green
-#: predates round 5, and only those two predate round 6.
+#: Round-12 driver window.  The priority rows are the three ADVICE r11
+#: closeouts whose plan or oracle changed plus the guarded
+#: applyInPandas recurrence row.  New round-12 queries are
+#: never-verified, so rule 2 of ``_ordered_names`` places them right
+#: after this block automatically.  The remaining slots fall through
+#: to the freshness rule, led by the two r5-latest alphabetic
+#: stragglers (target_encode_loo_orders, tokenizer_fertility_by_lang)
+#: that the r11 window displaced, then the r6-latest tail — after r12
+#: no oracled row's latest driver green predates round 5 (VERDICT r11
+#: #3's "no row older than r5" bar).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # changed plan + changed oracle: strict reference parity for the
-    # official-mode flat list (the DATASUS branch now re-derives the
-    # structured output's codes; bare categories are extension-only)
-    "cid_pipeline_golden",
-    # batch machinery changed (bucket_facts="auto" heuristic): the
-    # digest rows re-prove member results bit-identical through
-    # run_batch under the driver harness
-    "run_batch_fragments_verified",
-    "run_batch_stats_verified",
+    # Round-12 ADVICE r11 closeouts changed these three plans/oracles
+    # (queries/round11.py): Holt single-month trend guard mirrored in
+    # the recursive-CTE oracle, NDCG constants interpolated into the
+    # SQL, zero-norm cosine guard mirrored in the contamination oracle.
+    "holt_linear_monthly_revenue",
+    "ndcg_retrieval_eval",
+    "embedding_split_contamination",
+    # group-size guard added inside the applyInPandas recurrence
+    # (VERDICT r11 #7): the plan is unchanged but the Arrow worker
+    # code path is, so the row re-proves bit-parity through it
+    "ewma_user_values",
 )
 
 

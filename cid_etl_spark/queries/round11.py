@@ -484,6 +484,11 @@ def calibration_ece_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT_ALPHA = 0.5
 _HOLT_BETA = 0.3
 _HOLT_HORIZON = 3
+#: Per-group Arrow-frame row bound (VERDICT r11 #7): the series is
+#: month-grain per region, so even a century is ~1,200 rows — anything
+#: near this cap means a caller fed fact-grain rows into the grouped
+#: recurrence, which must fail loudly, not OOM the worker.
+_HOLT_MAX_MONTHS = 100_000
 
 _HOLT_SQL = f"""
 WITH series AS (
@@ -540,8 +545,22 @@ def _holt_frame(pdf):
     testable against synthetic series without a SparkSession."""
     import pandas as pd
 
+    if len(pdf) > _HOLT_MAX_MONTHS:
+        raise ValueError(
+            f"holt group {pdf['region'].iloc[0]!r} has {len(pdf)} rows, "
+            f"over the _HOLT_MAX_MONTHS={_HOLT_MAX_MONTHS} Arrow-frame "
+            "bound — the series must be month-grain (VERDICT r11 #7)"
+        )
     pdf = pdf.sort_values("month")
     ys = pdf["y"].to_numpy(dtype="float64")
+    if len(ys) < 2:
+        # A single observation cannot initialize the trend (b0 needs
+        # y2 - y1); drop the group — the SQL oracle's init CTE (inner
+        # join on rn = 2) drops it the same way (ADVICE r11).
+        return pd.DataFrame(
+            columns=["region", "n_months", "level", "trend"]
+            + [f"forecast_{h}" for h in range(1, _HOLT_HORIZON + 1)]
+        )
     lvl, trd = ys[0], ys[1] - ys[0]
     for y in ys[1:]:
         new_lvl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (lvl + trd)
@@ -738,8 +757,13 @@ WITH split AS (
   FROM embeddings
 ),
 scored AS (
+  -- zero-norm guard mirrors Spark's cosine_similarity (0.0 when either
+  -- norm is zero, functions/vectors.py:38); DuckDB's
+  -- list_cosine_similarity would divide by zero instead (ADVICE r11)
   SELECT h.vec_id, t.vec_id AS train_id,
-         round(list_cosine_similarity(h.v, t.v), 4) AS cosine
+         round(CASE WHEN list_dot_product(h.v, h.v) = 0
+                      OR list_dot_product(t.v, t.v) = 0 THEN 0.0
+               ELSE list_cosine_similarity(h.v, t.v) END, 4) AS cosine
   FROM split h JOIN split t ON h.is_holdout AND NOT t.is_holdout
 )
 SELECT vec_id, train_id AS nearest_train_id, cosine AS max_cosine,
@@ -826,12 +850,13 @@ WITH tok AS (
     SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len) AS avgdl FROM dl
 ), tf AS (
     SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-    FROM tok WHERE term IN ('data', 'query', 'index')
+    FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in _NDCG_TERMS)})
     GROUP BY doc_id, term
 ), df AS (
     SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
 ), rel AS (
-    SELECT doc_id, count(DISTINCT term) >= 2 AS relevant FROM tf GROUP BY doc_id
+    SELECT doc_id, count(DISTINCT term) >= {_NDCG_MIN_TERMS} AS relevant
+    FROM tf GROUP BY doc_id
 ), ranked AS (
     SELECT t.doc_id,
            round(sum(

@@ -359,3 +359,54 @@ def test_incremental_join_maintenance_equals_recompute(spark, duck):
         rev, cnt = expected[r.nation]
         assert r.n_orders == cnt
         assert r.revenue == pytest.approx(float(rev), abs=1e-6)
+
+
+def test_holt_single_month_group_dropped_like_oracle():
+    # ADVICE r11 #1: one observation cannot initialize the trend — the
+    # Arrow worker drops the group exactly as the SQL oracle's init CTE
+    # (inner join on rn=2) does, instead of raising IndexError
+    import pandas as pd
+
+    from cid_etl_spark.queries.round11 import _holt_frame
+
+    pdf = pd.DataFrame({"region": ["X"], "month": ["2024-01"], "y": [5.0]})
+    out = _holt_frame(pdf)
+    assert len(out) == 0
+    assert "forecast_3" in out.columns  # schema intact for Arrow
+
+
+def test_holt_group_row_cap_raises_loudly():
+    # VERDICT r11 #7: a fact-grain misuse must fail attributably, not
+    # OOM the Arrow worker
+    import pandas as pd
+    import pytest
+
+    import cid_etl_spark.queries.round11 as r11
+
+    pdf = pd.DataFrame(
+        {"region": ["X"] * 5, "month": [f"m{i}" for i in range(5)],
+         "y": [1.0] * 5}
+    )
+    orig = r11._HOLT_MAX_MONTHS
+    r11._HOLT_MAX_MONTHS = 3
+    try:
+        with pytest.raises(ValueError, match="Arrow-frame bound"):
+            r11._holt_frame(pdf)
+    finally:
+        r11._HOLT_MAX_MONTHS = orig
+
+
+def test_ewma_group_row_cap_raises_loudly(spark):
+    # the distributed twin of the cap: a 5-row group over a cap of 3
+    # surfaces the ValueError through the Arrow worker with the group
+    # key in the message
+    import pytest
+
+    from cid_etl_spark.operators.timeseries import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)], "k int, ts int, v double"
+    )
+    out = ewma_by_key(df, ["k"], "ts", "v", max_group_rows=3)
+    with pytest.raises(Exception, match="max_group_rows"):
+        out.collect()

@@ -259,3 +259,68 @@ def test_ambient_scales_drift_threshold_but_not_baselines():
     results3 = {"q": {"longest_task_sec": 11.0}}
     drift3 = bench_sf1._apply_drift_guard(results3, prev, ambient=1.3)
     assert "q" in drift3
+
+
+# ---------------------------------------------------------------------------
+# Round 12: sticky ambient wall references (ADVICE r11 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_ambient_uses_sticky_wall_baseline_not_last_run():
+    # the committed artifact recorded an inflated wall (10 -> 13) but
+    # the sticky reference held at 10: the estimator must divide by 10
+    prev = {
+        f"q{i}": {"wall_sec": 13.0, "baseline_wall_sec": 10.0}
+        for i in range(5)
+    }
+    res = {f"q{i}": {"wall_sec": 13.0} for i in range(5)}
+    raw, eff = bench_sf1._ambient_wall_drift(res, prev)
+    assert raw == 1.3  # vs sticky 10.0, NOT vs last-run 13.0 (= 1.0)
+
+
+def test_creeping_slowdown_cannot_renormalize_itself():
+    # ADVICE r11 #2's exact scenario: +25% per run, each inside
+    # AMBIENT_CAP vs the LAST run but compounding vs truth.  With
+    # sticky references the second run's raw ratio is ~1.56 > cap and
+    # the artifact flips to requires_arbitration semantics (eff=1.0).
+    prev = {f"q{i}": {"wall_sec": 10.0, "baseline_wall_sec": 10.0}
+            for i in range(5)}
+    run1 = {f"q{i}": {"wall_sec": 12.5} for i in range(5)}
+    raw1, eff1 = bench_sf1._ambient_wall_drift(run1, prev)
+    assert raw1 == 1.25 and eff1 == 1.25  # under cap: normalized, but...
+    bench_sf1._stamp_wall_baselines(run1, prev)
+    # ...the reference did NOT move up to 12.5
+    assert all(r["baseline_wall_sec"] == 10.0 for r in run1.values())
+    run2 = {f"q{i}": {"wall_sec": 15.6} for i in range(5)}
+    raw2, eff2 = bench_sf1._ambient_wall_drift(run2, run1)
+    assert raw2 > bench_sf1.AMBIENT_CAP and eff2 == 1.0
+
+
+def test_wall_baseline_seeds_tightens_and_never_loosens():
+    # first sighting seeds from the fresh wall
+    res = {"q": {"wall_sec": 8.0}}
+    bench_sf1._stamp_wall_baselines(res, {})
+    assert res["q"]["baseline_wall_sec"] == 8.0
+    # lucky fast run tightens, damped by BASELINE_TIGHTEN_CAP
+    nxt = {"q": {"wall_sec": 2.0}}
+    bench_sf1._stamp_wall_baselines(nxt, res)
+    assert nxt["q"]["baseline_wall_sec"] == round(
+        bench_sf1.BASELINE_TIGHTEN_CAP * 8.0, 2
+    )
+    # slow run never loosens
+    slow = {"q": {"wall_sec": 20.0}}
+    bench_sf1._stamp_wall_baselines(slow, nxt)
+    assert slow["q"]["baseline_wall_sec"] == nxt["q"]["baseline_wall_sec"]
+    # --accept-drift resets (human decision)
+    acc = {"q": {"wall_sec": 20.0}}
+    bench_sf1._stamp_wall_baselines(acc, nxt, accept_drift=True)
+    assert acc["q"]["baseline_wall_sec"] == 20.0
+
+
+def test_legacy_artifact_without_wall_baseline_falls_back():
+    prev = {"q": {"wall_sec": 10.0}}
+    res = {"q": {"wall_sec": 12.0}}
+    raw, _ = bench_sf1._ambient_wall_drift(res, prev)
+    assert raw == 1.2
+    bench_sf1._stamp_wall_baselines(res, prev)
+    assert res["q"]["baseline_wall_sec"] == 10.0  # seeded from legacy wall

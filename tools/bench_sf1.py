@@ -290,15 +290,48 @@ def _drift_suspect(name: str, r: dict, prev: dict) -> bool:
 
 
 def _ambient_wall_drift(results: dict[str, dict], prev: dict[str, dict]):
-    """(uncapped median wall ratio vs the committed artifact over
-    stable voters, effective factor) — see AMBIENT_CAP."""
-    ratios = [
-        r["wall_sec"] / prev[n]["wall_sec"]
-        for n, r in results.items()
-        if prev.get(n, {}).get("wall_sec", 0) >= AMBIENT_VOTER_MIN_WALL_SEC
-    ]
+    """(uncapped median wall ratio vs STICKY baseline walls over
+    stable voters, effective factor) — see AMBIENT_CAP.
+
+    The denominators are ``baseline_wall_sec`` references (last-run
+    observations only for rows that never recorded one), NOT last-run
+    walls (ADVICE r11 #2): anchoring to last-run walls let a genuine
+    uniform slowdown under AMBIENT_CAP normalize itself away, commit
+    its inflated walls, and be re-normalized against them next run — a
+    creeping real regression could stay green for ~2 runs.  Sticky
+    references never move upward automatically (tighten-only, same
+    convention as the longest-task baselines), so cumulative
+    normalization across runs is capped at AMBIENT_CAP vs the original
+    reference; sustained slowdown past it trips requires_arbitration."""
+    ratios = []
+    for n, r in results.items():
+        p = prev.get(n, {})
+        ref = p.get("baseline_wall_sec", p.get("wall_sec", 0))
+        if ref >= AMBIENT_VOTER_MIN_WALL_SEC:
+            ratios.append(r["wall_sec"] / ref)
     raw = max(statistics.median(ratios), 1.0) if ratios else 1.0
     return raw, (raw if raw <= AMBIENT_CAP else 1.0)
+
+
+def _stamp_wall_baselines(
+    results: dict[str, dict], prev: dict[str, dict], accept_drift: bool = False
+) -> None:
+    """Carry the sticky ``baseline_wall_sec`` reference on every row
+    (ADVICE r11 #2).  First observation (or ``--accept-drift``) seeds
+    it from the fresh wall; after that it is tighten-only with the
+    same geometric damping as the longest-task baselines — a slow run
+    NEVER raises it, so the ambient estimator's denominator cannot
+    ratchet upward under a creeping slowdown.  Mutates *results*."""
+    for n, r in results.items():
+        p = prev.get(n, {})
+        ref = p.get("baseline_wall_sec", p.get("wall_sec"))
+        fresh = r["wall_sec"]
+        if accept_drift or not ref:
+            r["baseline_wall_sec"] = round(fresh, 2)
+        else:
+            r["baseline_wall_sec"] = round(
+                min(ref, max(fresh, BASELINE_TIGHTEN_CAP * ref)), 2
+            )
 
 
 def _apply_drift_guard(
@@ -474,13 +507,22 @@ def main() -> int:
         # best (min longest-task) run is judged — a host stall cannot
         # survive three tries, a real decomposition change can.
         tries = 0
+        discarded: list[float] = []
         while tries < DRIFT_RETRIES and _drift_suspect(name, r, prev):
             tries += 1
             r2 = measure(name, fn)
             if r2["longest_task_sec"] < r["longest_task_sec"]:
+                discarded.append(r["longest_task_sec"])
                 r = r2
+            else:
+                discarded.append(r2["longest_task_sec"])
         if tries:
             r["retries"] = tries
+            # keep the losing samples in the artifact (ADVICE r11 #5):
+            # an intermittent regression that reproduces in 2 of 3
+            # tries stays auditable post-hoc instead of vanishing
+            # behind the min
+            r["retry_longest_tasks"] = discarded
         results[name] = r
         print(f"# {name}: {results[name]}", flush=True)
 
@@ -492,6 +534,7 @@ def main() -> int:
     )
     ambient_raw, ambient = _ambient_wall_drift(results, prev)
     drift = _apply_drift_guard(results, prev, accept_drift, ambient)
+    _stamp_wall_baselines(results, prev, accept_drift)
     payload = {
         "ambient_wall_drift": round(ambient, 3),
         "ambient_wall_drift_raw": round(ambient_raw, 3),
