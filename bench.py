@@ -487,6 +487,15 @@ HEADLINE = [
     "ndcg_retrieval_eval",
     "apriori_triples_copurchase",
     "incremental_join_maintenance",
+    # round 12 additions (queries/round12.py)
+    "weighted_geomean_grouped_agg",
+    "skipgram_cooccurrence_topk",
+    "welch_t_test_click_purchase",
+    "cramers_v_categorical",
+    "hill_tail_index_prices",
+    "group_kfold_split_audit",
+    "preference_pairs_by_quality",
+    "markov_stationary_events",
 ]
 
 

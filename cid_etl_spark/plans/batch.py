@@ -92,6 +92,13 @@ QUERY_FRAGMENTS: dict[str, tuple[str, ...]] = {
     "cusum_changepoint_orders": ("monthly_order_stats",),
     "repeated_spans_documents": ("doc_token_seq",),
     "cross_split_contamination": ("doc_token_seq",),
+    # round 12: skip-gram pairs ride the positional leads.  (The Markov
+    # chain's transition counts BUILD through user_event_seq but then
+    # localCheckpoint — the subtree is hidden behind a LogicalRDD, so
+    # cache substitution can never fire and the query is deliberately
+    # NOT declared a fragment consumer; the checkpoint's one-scan win
+    # over 8 re-scans is the documented trade.)
+    "skipgram_cooccurrence_topk": ("doc_token_seq",),
 }
 
 

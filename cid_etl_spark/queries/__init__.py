@@ -54,6 +54,7 @@ from cid_etl_spark.queries import curation as _curation  # noqa: E402
 from cid_etl_spark.queries import streaming_oracle as _streaming_oracle  # noqa: E402
 from cid_etl_spark.queries import round5 as _round5  # noqa: E402
 from cid_etl_spark.queries import round11 as _round11  # noqa: E402
+from cid_etl_spark.queries import round12 as _round12  # noqa: E402
 
 # Re-export every module-level name so the package namespace is a
 # drop-in for the former flat module (tests and tools import query
@@ -71,6 +72,7 @@ for _m in (
     _streaming_oracle,
     _round5,
     _round11,
+    _round12,
 ):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__"):

@@ -54,8 +54,18 @@ def test_run_batch_matches_per_query_results(spark):
     def rows(df):
         return sorted(map(tuple, df.collect()))
 
-    jsc = spark.sparkContext._jsc.sc()
-    pinned_before = jsc.getPersistentRDDs().size()
+    def pinned_ids() -> set[int]:
+        # set of ids, not a count: unrelated pinned RDDs (e.g. a
+        # localCheckpoint from a query built by an earlier test) may be
+        # ContextCleaner-collected WHILE this test runs, so a size
+        # comparison races — the leak contract is "no NEW pins remain"
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keys().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    pinned_before = pinned_ids()
     want = {n: rows(queries[n](spark, SF)) for n in BATCH}
     # default mode: parquet-materialized fragments + concurrent members
     got = run_batch(spark, SF, BATCH, action=rows)
@@ -74,7 +84,7 @@ def test_run_batch_matches_per_query_results(spark):
     for n in BATCH:
         assert got_c[n] == want[n], f"cache-batch result differs for {n}"
     # the batch released its caches (nothing new pinned for the caller)
-    assert jsc.getPersistentRDDs().size() == pinned_before
+    assert pinned_ids() - pinned_before == set()
 
 
 def test_fragment_substitution_fires(spark):

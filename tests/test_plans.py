@@ -361,6 +361,11 @@ LOWCARD_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
     "mutual_information_lang_source": (2, "marginal windows over the (lang × source) joint grain, ≤ |langs|·|sources| rows — the fact aggregates away in the groupBy BEFORE the windows"),
     "resample_gapfill_events": (1, "per-type gap-fill over 15-minute calendar buckets; |buckets| rows"),
     "revenue_share_within_region": (1, "share-of-total over the NATION-grain rollup, 25 rows"),
+    # markov_stationary_events' row-normalization window (transition
+    # grain, ≤ |event_types|² = 25 rows) runs INSIDE its localCheckpoint
+    # and is therefore invisible to this sweep — the justification lives
+    # in the query docstring; the audit sees (and requires) zero windows
+    # in the checkpointed outer plan.
     "theil_sen_region_monthly": (2, "median-of-slopes over month-pair grain per region, calendar-bounded (|months|²/2)"),
     "window_distribution_suite": (1, "§2.5 builtin-coverage demo (percent_rank/cume_dist/ntile share one spec); the production-scale rank path is bucketed_row_number, exercised by gini/rfm/ccnet/rank_customers"),
 }

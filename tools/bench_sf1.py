@@ -65,6 +65,10 @@ QUERIES = [
     "pretraining_data_pipeline", "corpus_curation_pipeline",
     # lexical fragments standalone anchor
     "ccnet_quality_buckets", "tfidf_top_terms",
+    # round 12 (VERDICT r11 #4): the r11 self-join-shaped queries —
+    # prove the degree/support caps bound the longest task at 10×
+    "apriori_triples_copurchase", "adamic_adar_link_prediction",
+    "assoc_rules_copurchase",
 ]
 
 #: run_batch ladders measured as single entries (batch wall vs the sum
