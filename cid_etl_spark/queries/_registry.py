@@ -454,6 +454,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (VERDICT r11 #7): the plan is unchanged but the Arrow worker
     # code path is, so the row re-proves bit-parity through it
     "ewma_user_values",
+    # r12 sf1-guard violations fixed by PLAN REWRITES (width-adaptive
+    # AA pair stage; order-keyed Apriori counting) — both re-verified
+    "adamic_adar_link_prediction",
+    "apriori_triples_copurchase",
 )
 
 

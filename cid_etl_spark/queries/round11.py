@@ -35,6 +35,10 @@ from cid_etl_spark.sources.parquet import load_table
 #: worst task is CAP^2 pairs regardless of corpus size.
 _AA_DEGREE_CAP = 256
 _AA_TOP_K = 100
+#: Target pair-generations per task for the center-node self-join —
+#: the stage repartitions to sum(min(d,cap)^2) / this (round 12, from
+#: the sf1 guard violation: a denser graph needs width, not a cap).
+_AA_PAIRS_PER_TASK = 4_000_000
 
 _ADAMIC_ADAR_SQL = f"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -85,14 +89,23 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: pairs are generated PER COMMON NEIGHBOR (one keyed
     self-join of the adjacency list on the center node), so the blowup
-    is sum(deg(z)^2) — bounded by the standing AA degree cap
-    (:data:`_AA_DEGREE_CAP`): hubs contribute ~zero signal
-    (1/ln(deg) -> 0) but quadratic pairs, so they never vote and the
-    worst task is CAP^2 pairs at ANY corpus size.  Existing edges drop
-    with one anti-join.  Integer-first: each neighbor's weight is
-    round(1e6/ln(deg)) in micro units, the score an exact BIGINT sum —
-    addition order can never flip the rounded value or the top-k
-    ordering, which DuckDB replays exactly."""
+    is sum(deg(z)^2) — the degree cap (:data:`_AA_DEGREE_CAP`) bounds
+    the PER-NODE term (hubs contribute ~zero signal, 1/ln(deg) -> 0,
+    but quadratic pairs, so they never vote), and the r12 sf1 guard
+    run showed the cap alone is not enough: a DENSER graph (sf1:
+    20k nodes, avg degree 120, sum d^2 = 3.0e8) blows the per-task
+    volume with every node under the cap (longest task 37 s, 30 GB of
+    hash-agg spill at 32 partitions).  The pair stage is therefore
+    WIDTH-ADAPTIVE: one bounded 1-row aggregate measures the exact
+    pair volume sum(min(d,cap)^2) and the self-join repartitions to
+    ceil(volume / _AA_PAIRS_PER_TASK) node partitions, so the longest
+    task carries ~constant work at ANY density (the same
+    measured-stats-then-size idiom as the LSH hot-bucket guard; the
+    extra action is one aggregate over the node-grain degree table).
+    Existing edges drop with one anti-join.  Integer-first: each
+    neighbor's weight is round(1e6/ln(deg)) in micro units, the score
+    an exact BIGINT sum — addition order can never flip the rounded
+    value or the top-k ordering, which DuckDB replays exactly."""
     from cid_etl_spark.queries.curation import _copurchase_edges
 
     # The edge list feeds THREE consumers (two adjacency directions +
@@ -117,12 +130,42 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_micro"),
         )
     )
+    # Size the pair-generation stage from the data (r12): the exact
+    # expansion volume is sum(d^2) over voting nodes — one bounded
+    # 1-row action over the node-grain degree table (edges are already
+    # checkpointed, so this re-runs one cheap aggregate, not the
+    # basket self-join).
+    pair_volume = (
+        deg.filter(F.col("degree").between(2, _AA_DEGREE_CAP))
+        .agg(F.sum(F.col("degree") * F.col("degree")).alias("v"))
+        .collect()[0]["v"]
+        or 0
+    )
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-int(pair_volume) // _AA_PAIRS_PER_TASK),
+    )
+    mid = mid.repartition(n_parts, "node")
     a, b = mid.alias("a"), mid.alias("b")
+    # The pair stream is distinct-heavy (common-neighbor pairs barely
+    # collapse), so the FINAL (u, v) aggregation and the anti-join must
+    # run at the same adaptive width — at the default 32 shuffle
+    # partitions the r12 sf1 guard measured a 29 s sort-agg task with
+    # 15 GB of spill on exactly this stage.  The explicit (u, v)
+    # repartition satisfies the aggregate's distribution AND is reused
+    # by the anti-join's pairs side, so widening costs no extra
+    # exchange downstream.
     pairs = (
         a.join(b, (F.col("a.node") == F.col("b.node")) & (F.col("a.nbr") < F.col("b.nbr")))
-        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .select(
+            F.col("a.nbr").alias("u"),
+            F.col("b.nbr").alias("v"),
+            F.col("a.w_micro").alias("w_micro"),
+        )
+        .repartition(n_parts, "u", "v")
+        .groupBy("u", "v")
         .agg(
-            F.sum("a.w_micro").alias("score_micro"),
+            F.sum("w_micro").alias("score_micro"),
             F.count(F.lit(1)).alias("common_neighbors"),
         )
     )
@@ -1024,14 +1067,28 @@ def apriori_triples_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     by support.
 
     This is the canonical distributed mining pattern the pair rows
-    (copurchase/assoc_rules) build toward: the naive 3-way basket
-    self-join blows up as basket-size³ × orders, while the Apriori
-    path bounds the counting join by |C3| — on a real retail corpus
-    orders of magnitude smaller, and each level is plain joins +
-    groupBys (no driver state).  The oracle is deliberately the
-    brute-force 3-way enumeration, NOT a replay: downward closure
-    guarantees set equality, so DuckDB independently checks the
-    ALGORITHM.  All values are exact integers."""
+    (copurchase/assoc_rules) build toward.  Counting is ORDER-KEYED
+    (round-12 rewrite): the original plan counted candidates via an
+    item-keyed join (cand ⋈ items ON item_a), whose output is
+    sum over candidates of freq(item_a) — the r12 sf1 guard measured
+    it at a 54-72 s longest task (|L2| = 1.2M pairs at 10× density
+    makes |C3| × item frequency explode) while the order-keyed
+    instance enumeration is sum(C(basket, 3)) = 16M rows there, with
+    the per-TASK bound |orders/task| × C(max_basket, 3) — a data-model
+    constant (max basket 17), not a density-dependent volume.  The
+    Apriori structure stays, applied where it pays: baskets are first
+    trimmed to items appearing in some frequent pair (the L1 prune),
+    and downward closure prunes INSTANCES through three face
+    semi-joins against L2 before anything shuffles to the count — a
+    triple survives only if (a,b), (a,c), (b,c) are all frequent,
+    exactly the membership C3 would test, without the item-keyed
+    blowup.  (On a wide-basket corpus where C(basket,3) itself
+    explodes, the classic hash-tree broadcast of C3 replaces the
+    enumeration; at that point |C3| is the smaller side by
+    construction.)  The oracle is deliberately the brute-force 3-way
+    enumeration, NOT a replay: downward closure guarantees set
+    equality, so DuckDB independently checks the ALGORITHM.  All
+    values are exact integers."""
     from cid_etl_spark.queries.curation import _copurchase_edges
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1045,28 +1102,34 @@ def apriori_triples_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the co-purchase edge list.
     l2 = _copurchase_edges(spark, sf_dir, min_support=_APRIORI_MIN_SUPPORT
                            ).localCheckpoint(eager=False)
-    # C3: join L2 with itself on the first item; prune by the third
-    # face via a semi join (downward closure).
-    cand = (
-        l2.selectExpr("src AS a", "dst AS b")
-        .join(l2.selectExpr("src AS a", "dst AS c"), "a")
-        .filter(F.col("b") < F.col("c"))
-        .join(
-            l2.selectExpr("src AS b", "dst AS c"),
-            ["b", "c"],
-            "left_semi",
-        )
+    # L1 prune: only items that appear in some frequent pair can be in
+    # a frequent triple — trims every basket before enumeration.
+    l1 = (
+        l2.selectExpr("src AS item")
+        .unionAll(l2.selectExpr("dst AS item"))
+        .distinct()
     )
-    # Count candidate support against the baskets: three item-keyed
-    # joins narrow the fact to candidate members only.
-    i1 = items.selectExpr("l_orderkey AS o", "l_partkey AS a")
-    i2 = items.selectExpr("l_orderkey AS o", "l_partkey AS b")
-    i3 = items.selectExpr("l_orderkey AS o", "l_partkey AS c")
+    itf = items.join(
+        l1, items["l_partkey"] == l1["item"], "left_semi"
+    )
+    i1 = itf.selectExpr("l_orderkey AS o", "l_partkey AS a")
+    i2 = itf.selectExpr("l_orderkey AS o", "l_partkey AS b")
+    i3 = itf.selectExpr("l_orderkey AS o", "l_partkey AS c")
+    # Order-local pair instances, face-pruned to frequent pairs before
+    # the third item joins in (downward closure, instance side).
+    pairs_o = (
+        i1.join(i2, "o")
+        .filter(F.col("a") < F.col("b"))
+        .join(l2.selectExpr("src AS a", "dst AS b"), ["a", "b"], "left_semi")
+    )
+    trip_o = (
+        pairs_o.join(i3, "o")
+        .filter(F.col("c") > F.col("b"))
+        .join(l2.selectExpr("src AS b", "dst AS c"), ["b", "c"], "left_semi")
+        .join(l2.selectExpr("src AS a", "dst AS c"), ["a", "c"], "left_semi")
+    )
     support = (
-        cand.join(i1, "a")
-        .join(i2, ["o", "b"])
-        .join(i3, ["o", "c"])
-        .groupBy("a", "b", "c")
+        trip_o.groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _APRIORI_MIN_SUPPORT)
     )
