@@ -55,8 +55,24 @@ def main() -> int:
         generate_sf1(spark)
 
     emb = load_table(spark, SF1_DIR, "embeddings")
-    queries = emb.filter(F.col("vec_id") < args.queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    # Query vectors are MIDPOINTS of adjacent corpus vectors, not raw
+    # corpus rows: the sf1 fixture replicates every vector 10x (the
+    # dedup-adversarial design), so a corpus-row query's top-10 is its
+    # own replica set — identical values land in identical
+    # buckets/cells and EVERY method scores a vacuous recall 1.0
+    # (measured).  A midpoint query has genuinely spread neighbors, so
+    # the probe discriminates.  Deterministic: pair (2i, 2i+1).
+    lo = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * args.queries)).select(
+        (F.col("vec_id") / 2).cast("long").alias("query_id"),
+        F.col("embedding").alias("e0"),
+    )
+    hi = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * args.queries)).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("query_id"),
+        F.col("embedding").alias("e1"),
+    )
+    queries = lo.join(hi, "query_id").select(
+        "query_id",
+        F.zip_with("e0", "e1", lambda x, y: (x + y) / 2.0).alias("query_vec"),
     )
     n_corpus = emb.count()
 
