@@ -496,6 +496,11 @@ HEADLINE = [
     "group_kfold_split_audit",
     "preference_pairs_by_quality",
     "markov_stationary_events",
+    # round 12, second batch
+    "conformal_threshold_classifier",
+    "mcnemar_heuristic_vs_classifier",
+    "gini_best_split_lineitem",
+    "kendall_tau_top_customers",
 ]
 
 

@@ -756,3 +756,632 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("state"), "p")
         )
     return v.select("state", F.round("p", 6).alias("stationary_p"))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction thresholds + coverage audit
+# ---------------------------------------------------------------------------
+
+#: md5-hex threshold putting ~20% of doc_ids in the CALIBRATION split
+#: (same split idiom as holdout_split_documents).
+_CONF_CALIB_HEX = "3333333333333333333333333333333333"
+_CONF_ALPHAS = (0.1, 0.2)
+
+#: The classifier-confidence + heuristic-label CTE stack, shared text
+#: with round11._ece_sql (same classifier, same label — this audit is
+#: the conformal complement of the ECE reliability table).
+
+
+def _conformal_sql() -> str:
+    from cid_etl_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    alphas = ", ".join(f"({a})" for a in _CONF_ALPHAS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN string_split_regex(lower(trim(text)), '\s+')
+              ELSE []::VARCHAR[] END AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+clf AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             tk -> ((('0x' || substr(md5(tk), 1, 7))::BIGINT % 4096)
+                    * 2654435761) % 4097 - 2048)) AS BIGINT), 0) AS margin
+  FROM t
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0
+              THEN round(1.0 / (1.0 + exp(-4.0 * (margin::DOUBLE
+                                                  / (n_tokens * 2048.0)))), 6)
+              ELSE 0.5 END AS conf
+  FROM clf
+),
+heur AS (
+  SELECT doc_id,
+         round(CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END
+               * CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END
+               * CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END, 4) AS quality
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                         'sum') AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mtl,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN ({stop_list})))
+                          AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw,
+           CASE WHEN n_nonspace > 0
+                THEN CAST(n_punct AS DOUBLE) / n_nonspace
+                ELSE 0.0 END AS pr
+    FROM t
+  )
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round((CASE WHEN h.quality >= 0.9
+                          THEN 1.0 - p.conf ELSE p.conf END) * 1000000)
+              AS BIGINT) AS s_micro,
+         md5(CAST(p.doc_id AS VARCHAR)) < '{_CONF_CALIB_HEX}' AS is_calib,
+         p.conf
+  FROM pred p JOIN heur h USING (doc_id)
+),
+calib_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored WHERE is_calib),
+cum AS (
+  SELECT s_micro,
+         sum(count(*)) OVER (ORDER BY s_micro
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_n
+  FROM scored WHERE is_calib GROUP BY s_micro
+),
+ks AS (
+  SELECT a.alpha,
+         CAST(ceil((calib_n.n + 1) * (1 - a.alpha)) AS BIGINT) AS k,
+         calib_n.n AS n_calib
+  FROM (VALUES {alphas}) a(alpha) CROSS JOIN calib_n
+),
+qhat AS (
+  SELECT ks.alpha, ks.k, ks.n_calib,
+         min(cum.s_micro) AS q_micro
+  FROM ks JOIN cum ON cum.cum_n >= ks.k
+  GROUP BY ks.alpha, ks.k, ks.n_calib
+)
+SELECT q.alpha, q.n_calib, q.k,
+       round(q.q_micro / 1000000.0, 6) AS q_hat,
+       round(avg(CASE WHEN e.s_micro <= q.q_micro THEN 1.0 ELSE 0.0 END), 6)
+           AS coverage_eval,
+       round(avg(CASE WHEN CAST(round((1.0 - e.conf) * 1000000) AS BIGINT)
+                           <= q.q_micro THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(round(e.conf * 1000000) AS BIGINT)
+                             <= q.q_micro THEN 1 ELSE 0 END), 6)
+           AS avg_set_size
+FROM qhat q CROSS JOIN (SELECT * FROM scored WHERE NOT is_calib) e
+GROUP BY q.alpha, q.n_calib, q.k, q.q_micro
+ORDER BY q.alpha
+"""
+
+
+@_register("conformal_threshold_classifier", _conformal_sql())
+def conformal_threshold_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the hashed linear quality
+    classifier: on an md5 calibration split (~20%), the nonconformity
+    score s = |label − conf| yields, per miscoverage level alpha, the
+    ceil((n+1)(1−alpha))-th order statistic q̂; the eval split then
+    reports realized coverage (P[s ≤ q̂] ≥ 1−alpha is the conformal
+    guarantee) and the mean binary prediction-set size.  The
+    distribution-free companion to `calibration_ece_classifier`: ECE
+    says how honest the probabilities are, conformal gives thresholds
+    with coverage guarantees regardless.
+
+    Scale: scoring is the same map-only codegen pass as the ECE row;
+    the order statistic is computed WITHOUT a corpus sort — scores
+    quantize to 6-dp micro-units, so a value-grain rollup (≤ 1e6+1
+    rows bounded by the score DOMAIN, not the corpus) plus one
+    cumulative window over that rollup finds q̂ = min{{s : cum ≥ k}};
+    coverage is one aggregate over the eval side.  The single-
+    partition window is bounded by the score domain — audited in
+    tests/test_plans.py."""
+    from cid_etl_spark.functions.text import quality_score
+    from cid_etl_spark.operators.classifier import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (quality_score("text") >= 0.9).cast("int").alias("label"),
+    )
+    scored_raw = quality_classifier(d, "doc_id", "text", passthrough=("label",))
+    scored = scored_raw.select(
+        "doc_id",
+        F.round(
+            (
+                F.when(F.col("label") == 1, 1.0 - F.col("quality_score"))
+                .otherwise(F.col("quality_score"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+        (
+            F.md5(F.col("doc_id").cast("string")) < _CONF_CALIB_HEX
+        ).alias("is_calib"),
+        F.col("quality_score").alias("conf"),
+    )
+    calib = scored.filter("is_calib")
+    n_calib = calib.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cum = (
+        calib.groupBy("s_micro")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "s_micro",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("s_micro").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum_n"),
+        )
+    )
+    alphas = spark.createDataFrame(
+        [(a,) for a in _CONF_ALPHAS], "alpha double"
+    )
+    ks = alphas.crossJoin(F.broadcast(n_calib)).select(
+        "alpha",
+        F.ceil((F.col("n") + 1) * (1 - F.col("alpha"))).cast("bigint").alias("k"),
+        F.col("n").alias("n_calib"),
+    )
+    qhat = (
+        F.broadcast(ks)
+        .join(cum, cum["cum_n"] >= ks["k"])
+        .groupBy("alpha", "k", "n_calib")
+        .agg(F.min("s_micro").alias("q_micro"))
+    )
+    ev = scored.filter(~F.col("is_calib"))
+    joined = ev.crossJoin(F.broadcast(qhat))
+    return (
+        joined.groupBy("alpha", "n_calib", "k", "q_micro")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("s_micro") <= F.col("q_micro"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage_eval"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.round((1.0 - F.col("conf")) * 1_000_000).cast("bigint")
+                        <= F.col("q_micro"),
+                        1,
+                    ).otherwise(0)
+                    + F.when(
+                        F.round(F.col("conf") * 1_000_000).cast("bigint")
+                        <= F.col("q_micro"),
+                        1,
+                    ).otherwise(0)
+                ),
+                6,
+            ).alias("avg_set_size"),
+        )
+        .select(
+            "alpha",
+            "n_calib",
+            "k",
+            F.round(F.col("q_micro") / 1_000_000.0, 6).alias("q_hat"),
+            "coverage_eval",
+            "avg_set_size",
+        )
+        .orderBy("alpha")
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: heuristic filter vs classifier filter
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_sql() -> str:
+    from cid_etl_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN string_split_regex(lower(trim(text)), '\s+')
+              ELSE []::VARCHAR[] END AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+clf AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         COALESCE(CAST(list_sum(list_transform(toks,
+             tk -> ((('0x' || substr(md5(tk), 1, 7))::BIGINT % 4096)
+                    * 2654435761) % 4097 - 2048)) AS BIGINT), 0) AS margin
+  FROM t
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0 THEN
+           CASE WHEN round(1.0 / (1.0 + exp(-4.0 * (margin::DOUBLE
+                     / (n_tokens * 2048.0)))), 6) >= 0.5
+                AND n_tokens > 0 THEN 1 ELSE 0 END
+         ELSE 0 END AS clf_keep
+  FROM clf
+),
+heur AS (
+  SELECT doc_id,
+         CASE WHEN round(CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                              THEN 1.0 ELSE 0.5 END
+               * CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END
+               * CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.4 END, 4) >= 0.9
+              THEN 1 ELSE 0 END AS heur_keep
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                         'sum') AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS mtl,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN ({stop_list})))
+                          AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS sw,
+           CASE WHEN n_nonspace > 0
+                THEN CAST(n_punct AS DOUBLE) / n_nonspace
+                ELSE 0.0 END AS pr
+    FROM t
+  )
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN heur_keep = 1 AND clf_keep = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS both_keep,
+    CAST(sum(CASE WHEN heur_keep = 1 AND clf_keep = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS heur_only,
+    CAST(sum(CASE WHEN heur_keep = 0 AND clf_keep = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS clf_only,
+    CAST(sum(CASE WHEN heur_keep = 0 AND clf_keep = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS neither
+  FROM pred JOIN heur USING (doc_id)
+)
+SELECT both_keep, heur_only, clf_only, neither,
+       round(CAST((heur_only - clf_only) * (heur_only - clf_only) AS DOUBLE)
+             / (heur_only + clf_only), 6) AS chi2,
+       round(CAST((abs(heur_only - clf_only) - 1)
+                  * (abs(heur_only - clf_only) - 1) AS DOUBLE)
+             / (heur_only + clf_only), 6) AS chi2_cc,
+       CAST((abs(heur_only - clf_only) - 1)
+            * (abs(heur_only - clf_only) - 1) AS DOUBLE)
+           / (heur_only + clf_only) > 3.841459 AS reject_05
+FROM cells
+"""
+
+
+@_register("mcnemar_heuristic_vs_classifier", _mcnemar_sql())
+def mcnemar_heuristic_vs_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the two corpus filters — the heuristic
+    quality gate (quality >= 0.9) vs the hashed linear classifier's
+    keep decision — over the SAME documents: the discordant cells
+    (heur-only, clf-only) drive chi2 = (b−c)²/(b+c), plus the
+    continuity-corrected form and the 0.05 decision against the
+    chi²(1) critical value.  The right test when comparing two
+    filters on paired data (a two-proportion z-test over the same
+    rows is wrong — the samples aren't independent); completes the
+    paired family beside the two-sample (Welch/Mann-Whitney/KS) rows.
+
+    Scale: ONE map-only pass computes both decisions in a single
+    projection (no join of two scans — the plan reads documents
+    once), then a 4-cell aggregate; everything after is arithmetic on
+    exact integers."""
+    from cid_etl_spark.functions.text import quality_score
+    from cid_etl_spark.operators.classifier import quality_classifier
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (quality_score("text") >= 0.9).cast("int").alias("heur_keep"),
+    )
+    scored = quality_classifier(d, "doc_id", "text", passthrough=("heur_keep",))
+    paired = scored.select(
+        F.col("heur_keep"), F.col("keep").cast("int").alias("clf_keep")
+    )
+    cells = paired.agg(
+        F.sum(
+            F.when((F.col("heur_keep") == 1) & (F.col("clf_keep") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("both_keep"),
+        F.sum(
+            F.when((F.col("heur_keep") == 1) & (F.col("clf_keep") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("heur_only"),
+        F.sum(
+            F.when((F.col("heur_keep") == 0) & (F.col("clf_keep") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("clf_only"),
+        F.sum(
+            F.when((F.col("heur_keep") == 0) & (F.col("clf_keep") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("neither"),
+    )
+    b, c = F.col("heur_only"), F.col("clf_only")
+    chi2_cc = ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double") / (b + c)
+    return cells.select(
+        "both_keep",
+        "heur_only",
+        "clf_only",
+        "neither",
+        F.round(((b - c) * (b - c)).cast("double") / (b + c), 6).alias("chi2"),
+        F.round(chi2_cc, 6).alias("chi2_cc"),
+        (chi2_cc > 3.841459).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder (best gini split per feature)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), vals AS (
+  SELECT 'quantity' AS feature, qty AS v,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM f GROUP BY qty
+  UNION ALL
+  SELECT 'discount_cents', disc,
+         CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+  FROM f GROUP BY disc
+), cum AS (
+  SELECT feature, v, n, pos,
+         sum(n) OVER w AS nl, sum(pos) OVER w AS pl,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         sum(pos) OVER (PARTITION BY feature) AS pt
+  FROM vals
+  WINDOW w AS (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), split AS (
+  SELECT feature, v AS threshold,
+         CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+         round(
+           (nl * (1.0 - (pl * 1.0 / nl) * (pl * 1.0 / nl)
+                  - ((nl - pl) * 1.0 / nl) * ((nl - pl) * 1.0 / nl))
+            + (nt - nl) * (1.0 - ((pt - pl) * 1.0 / (nt - nl))
+                                 * ((pt - pl) * 1.0 / (nt - nl))
+                           - ((nt - nl - (pt - pl)) * 1.0 / (nt - nl))
+                             * ((nt - nl - (pt - pl)) * 1.0 / (nt - nl))))
+           / nt, 6) AS impurity,
+         round(1.0 - (pt * 1.0 / nt) * (pt * 1.0 / nt)
+               - ((nt - pt) * 1.0 / nt) * ((nt - pt) * 1.0 / nt), 6)
+             AS gini_parent
+  FROM cum WHERE nl < nt
+)
+SELECT feature, threshold, n_left, n_right, impurity, gini_parent
+FROM split
+QUALIFY row_number() OVER (PARTITION BY feature
+                           ORDER BY impurity, threshold) = 1
+ORDER BY feature
+"""
+
+
+@_register("gini_best_split_lineitem", _GINI_SQL)
+def gini_best_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: the best gini-impurity split threshold
+    per numeric feature (quantity, discount) against the return-flag
+    target — the inner loop of distributed tree training (the split
+    finder IS the scaling problem; everything else is bookkeeping),
+    and a feature-importance probe in its own right (impurity drop vs
+    the parent gini).
+
+    Scale shape (the histogram trick every distributed GBM uses): ONE
+    fact scan rolls up to (feature, value)-grain counts — quantity and
+    discount are integer-valued, so the rollup is exact and bounded by
+    the FEATURE DOMAIN (~150 rows total), not the fact; candidate
+    splits then come from cumulative sums over that tiny table, and
+    the per-threshold impurity is a closed form of four exact
+    integers.  The windows partition by feature over value-grain rows
+    — bounded by domain, audited in tests/test_plans.py.  All
+    divisions are double ops on exact integers; impurity ties break
+    on the threshold for an engine-stable argmin."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    vals = (
+        li.groupBy(F.col("qty").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .select(F.lit("quantity").alias("feature"), "v", "n", "pos")
+        .unionAll(
+            li.groupBy(F.col("disc").alias("v"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("y").cast("bigint").alias("pos"),
+            )
+            .select(F.lit("discount_cents").alias("feature"), "v", "n", "pos")
+        )
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("feature")
+    cum = vals.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("pos").over(wt).alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    nr, pr = nt - nl, pt - pl
+    gini_l = (
+        1.0
+        - (pl * 1.0 / nl) * (pl * 1.0 / nl)
+        - ((nl - pl) * 1.0 / nl) * ((nl - pl) * 1.0 / nl)
+    )
+    gini_r = (
+        1.0
+        - (pr * 1.0 / nr) * (pr * 1.0 / nr)
+        - ((nr - pr) * 1.0 / nr) * ((nr - pr) * 1.0 / nr)
+    )
+    split = cum.filter(nl < nt).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.round((nl * gini_l + nr * gini_r) / nt, 6).alias("impurity"),
+        F.round(
+            1.0
+            - (pt * 1.0 / nt) * (pt * 1.0 / nt)
+            - ((nt - pt) * 1.0 / nt) * ((nt - pt) * 1.0 / nt),
+            6,
+        ).alias("gini_parent"),
+    )
+    rank = Window.partitionBy("feature").orderBy("impurity", "threshold")
+    return (
+        split.withColumn("__rn", F.row_number().over(rank))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation over the top-spend customers
+# ---------------------------------------------------------------------------
+
+_KENDALL_TOP_N = 200
+
+_KENDALL_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+  FROM orders GROUP BY o_custkey
+  ORDER BY spend_cents DESC, ck
+  LIMIT {_KENDALL_TOP_N}
+), x AS (
+  SELECT s.ck, s.spend_cents,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM spend s JOIN customer c ON s.ck = c.c_custkey
+), pairs AS (
+  SELECT a.spend_cents AS s1, b.spend_cents AS s2,
+         a.bal_cents AS b1, b.bal_cents AS b2
+  FROM x a JOIN x b ON a.ck < b.ck
+), counts AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN (s1 - s2) * (b1 - b2) > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS concordant,
+    CAST(sum(CASE WHEN (s1 - s2) * (b1 - b2) < 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS discordant,
+    CAST(sum(CASE WHEN s1 = s2 AND b1 <> b2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS ties_spend,
+    CAST(sum(CASE WHEN b1 = b2 AND s1 <> s2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS ties_bal,
+    CAST(sum(CASE WHEN s1 = s2 AND b1 = b2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS ties_both
+  FROM pairs
+)
+SELECT CAST({_KENDALL_TOP_N} AS BIGINT) AS n, concordant, discordant,
+       ties_spend, ties_bal, ties_both,
+       round((concordant - discordant) * 1.0
+             / sqrt((n0 - ties_spend - ties_both) * 1.0
+                    * (n0 - ties_bal - ties_both)), 6) AS tau_b
+FROM counts
+"""
+
+
+@_register("kendall_tau_top_customers", _KENDALL_SQL)
+def kendall_tau_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between lifetime spend and
+    account balance over the top-{n} customers by spend — the
+    concordance-based companion to `spearman_acctbal_spend` (Spearman
+    measures monotone fit through ranks; Kendall counts pairwise order
+    agreements and is the standard choice when comparing two RANKERS,
+    e.g. a retrieval reranker vs its teacher), with the full tie
+    decomposition tau-b needs.
+
+    Scale: spend rolls up fact-side (one shuffle), the top-{n} cut is
+    TakeOrderedAndProject, and the O(n²) pair enumeration runs on the
+    BOUNDED {n}-row set (C({n},2) ≈ 20k pairs, broadcast self-join) —
+    pair counting never touches an unbounded grain; on full-corpus
+    rank correlation use the O(n log n) Spearman row instead (the
+    docstrings cross-reference).  All comparisons are on exact cent
+    integers; the single float op is the final tau."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend_cents")
+        )
+        .orderBy(F.desc("spend_cents"), "ck")
+        .limit(_KENDALL_TOP_N)
+    )
+    x = spend.join(
+        F.broadcast(
+            customer.select(
+                F.col("c_custkey").alias("ck"),
+                F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+            )
+        ),
+        "ck",
+    )
+    a, b = x.alias("a"), x.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.ck") < F.col("b.ck")).select(
+        F.col("a.spend_cents").alias("s1"),
+        F.col("b.spend_cents").alias("s2"),
+        F.col("a.bal_cents").alias("b1"),
+        F.col("b.bal_cents").alias("b2"),
+    )
+    s1, s2, b1, b2 = F.col("s1"), F.col("s2"), F.col("b1"), F.col("b2")
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when((s1 - s2) * (b1 - b2) > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when((s1 - s2) * (b1 - b2) < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when((s1 == s2) & (b1 != b2), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_spend"),
+        F.sum(F.when((b1 == b2) & (s1 != s2), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_bal"),
+        F.sum(F.when((s1 == s2) & (b1 == b2), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_both"),
+    )
+    n0 = F.col("n0")
+    return counts.select(
+        F.lit(_KENDALL_TOP_N).cast("bigint").alias("n"),
+        "concordant",
+        "discordant",
+        "ties_spend",
+        "ties_bal",
+        "ties_both",
+        F.round(
+            (F.col("concordant") - F.col("discordant")) * 1.0
+            / F.sqrt(
+                (n0 - F.col("ties_spend") - F.col("ties_both")) * 1.0
+                * (n0 - F.col("ties_bal") - F.col("ties_both"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

@@ -337,6 +337,7 @@ def test_cdc_merge_single_key_shuffle(spark):
 #: volume: the calendar (a daily/monthly rollup has |days|/|months|
 #: rows however big the fact) or an output-sized candidate set.
 SINGLE_PARTITION_WINDOW_AUDIT: dict[str, tuple[int, str]] = {
+    "conformal_threshold_classifier": (1, "cumulative count over the QUANTIZED-SCORE grain (6-dp micro-units: ≤ 1e6+1 rows bounded by the score DOMAIN, not the corpus — the corpus aggregates to value-grain counts BEFORE the window)"),
     "anomaly_months_orders": (2, "month-grain rollup + lag window; |months| rows"),
     "autocorrelation_daily_revenue": (2, "day-grain series; |days| rows"),
     "cusum_changepoint_orders": (1, "month-grain cumulative deviations"),

@@ -323,3 +323,168 @@ def test_markov_stationary_is_fixed_point(spark, duck):
     assert abs(total - 1.0) < 1e-4
     v2 = v @ mat
     assert np.abs(v2 - v).max() < 1e-3  # converged: one more step is a no-op
+
+
+def test_conformal_coverage_guarantee_and_order_stat(spark, duck):
+    """Split-conformal invariants: q_hat is exactly the
+    ceil((n+1)(1-alpha))-th smallest calibration score (pure-Python
+    order statistic on the same quantized values), coverage on the
+    eval split is >= 1 - alpha - slack (the finite-sample conformal
+    guarantee holds in expectation; md5 split is exchangeable here),
+    and k/alpha are consistent."""
+    import math as m
+
+    from cid_etl_spark.queries.round12 import (
+        _CONF_ALPHAS,
+        conformal_threshold_classifier,
+    )
+    from cid_etl_spark.queries import quality_classifier_score  # noqa: F401
+
+    rows = (
+        conformal_threshold_classifier(spark, SF_SMOKE).toPandas().to_dict("records")
+    )
+    assert [r["alpha"] for r in rows] == sorted(_CONF_ALPHAS)
+    # replicate scores in python via the spark scoring pieces
+    from cid_etl_spark.functions.text import quality_score
+    from cid_etl_spark.operators.classifier import quality_classifier
+    from cid_etl_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text",
+        (quality_score("text") >= 0.9).cast("int").alias("label"),
+    )
+    sc = quality_classifier(d, "doc_id", "text", passthrough=("label",)).select(
+        "doc_id",
+        F.round(
+            (F.when(F.col("label") == 1, 1.0 - F.col("quality_score"))
+             .otherwise(F.col("quality_score"))) * 1_000_000
+        ).cast("bigint").alias("s"),
+        (F.md5(F.col("doc_id").cast("string"))
+         < "3333333333333333333333333333333333").alias("calib"),
+    ).toPandas()
+    calib = sorted(sc[sc["calib"]]["s"])
+    ev = list(sc[~sc["calib"]]["s"])
+    for r in rows:
+        n = len(calib)
+        k = m.ceil((n + 1) * (1 - r["alpha"]))
+        assert r["n_calib"] == n and r["k"] == k
+        q = calib[k - 1]  # k-th smallest
+        assert abs(r["q_hat"] - q / 1e6) < 1e-9
+        cov = sum(1 for s in ev if s <= q) / len(ev)
+        assert abs(r["coverage_eval"] - round(cov, 6)) < 1e-9
+        # guarantee direction (allow small finite-sample slack)
+        assert r["coverage_eval"] >= 1 - r["alpha"] - 0.05
+        assert 1.0 <= r["avg_set_size"] <= 2.0
+
+
+def test_mcnemar_cells_and_chi2(spark):
+    """Cells partition the corpus; chi2 forms match the textbook
+    formulas on the exact discordant counts."""
+    from cid_etl_spark.queries.round12 import mcnemar_heuristic_vs_classifier
+    from cid_etl_spark.sources.parquet import load_table
+
+    r = mcnemar_heuristic_vs_classifier(spark, SF_SMOKE).toPandas().iloc[0]
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert (
+        r["both_keep"] + r["heur_only"] + r["clf_only"] + r["neither"] == n_docs
+    )
+    b, c = int(r["heur_only"]), int(r["clf_only"])
+    assert abs(r["chi2"] - (b - c) ** 2 / (b + c)) < 1e-6
+    assert abs(r["chi2_cc"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+    assert r["reject_05"] == ((abs(b - c) - 1) ** 2 / (b + c) > 3.841459)
+
+
+def test_gini_split_matches_bruteforce(spark, duck):
+    """Per feature, the chosen threshold minimizes the exhaustive
+    weighted-impurity sweep computed in pure Python."""
+    from cid_etl_spark.queries.round12 import gini_best_split_lineitem
+
+    rows = duck.execute(
+        """
+        SELECT CAST(round(l_quantity) AS BIGINT),
+               CAST(round(l_discount*100) AS BIGINT),
+               CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END
+        FROM lineitem
+        """
+    ).fetchall()
+
+    def best(feature_idx):
+        from collections import Counter
+
+        n_by, pos_by = Counter(), Counter()
+        for r in rows:
+            n_by[r[feature_idx]] += 1
+            pos_by[r[feature_idx]] += r[2]
+        vals = sorted(n_by)
+        nt = sum(n_by.values())
+        pt = sum(pos_by.values())
+        nl = pl = 0
+        cands = []
+        for v in vals[:-1]:
+            nl += n_by[v]
+            pl += pos_by[v]
+            nr, pr = nt - nl, pt - pl
+            gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+            gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+            cands.append((round((nl * gl + nr * gr) / nt, 6), v, nl, nr))
+        return min(cands)
+
+    got = {
+        r["feature"]: r
+        for r in gini_best_split_lineitem(spark, SF_SMOKE)
+        .toPandas()
+        .to_dict("records")
+    }
+    for feat, idx in (("quantity", 0), ("discount_cents", 1)):
+        imp, v, nl, nr = best(idx)
+        r = got[feat]
+        assert (r["impurity"], r["threshold"]) == (imp, v)
+        assert (r["n_left"], r["n_right"]) == (nl, nr)
+        # a split can only reduce impurity vs the parent
+        assert r["impurity"] <= r["gini_parent"] + 1e-9
+
+
+def test_kendall_tau_matches_bruteforce(spark, duck):
+    """tau-b equals a pure-Python pair sweep over the same top-N set,
+    and the concordance decomposition covers all pairs."""
+    from cid_etl_spark.queries.round12 import (
+        _KENDALL_TOP_N,
+        kendall_tau_top_customers,
+    )
+
+    top = duck.execute(
+        f"""
+        WITH s AS (
+          SELECT o_custkey ck,
+                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) sp
+          FROM orders GROUP BY 1 ORDER BY sp DESC, ck LIMIT {_KENDALL_TOP_N}
+        )
+        SELECT s.sp, CAST(round(c.c_acctbal*100) AS BIGINT)
+        FROM s JOIN customer c ON s.ck = c.c_custkey
+        """
+    ).fetchall()
+    import math as m
+
+    C = D = tx = ty = tb = 0
+    for i in range(len(top)):
+        for j in range(i + 1, len(top)):
+            ds = top[i][0] - top[j][0]
+            db = top[i][1] - top[j][1]
+            if ds == 0 and db == 0:
+                tb += 1
+            elif ds == 0:
+                tx += 1
+            elif db == 0:
+                ty += 1
+            elif ds * db > 0:
+                C += 1
+            else:
+                D += 1
+    n0 = len(top) * (len(top) - 1) // 2
+    tau = (C - D) / m.sqrt((n0 - tx - tb) * (n0 - ty - tb))
+    r = kendall_tau_top_customers(spark, SF_SMOKE).toPandas().iloc[0]
+    assert (r["concordant"], r["discordant"]) == (C, D)
+    assert (r["ties_spend"], r["ties_bal"], r["ties_both"]) == (tx, ty, tb)
+    assert C + D + tx + ty + tb == n0
+    assert abs(r["tau_b"] - round(tau, 6)) < 1e-9
