@@ -69,6 +69,10 @@ QUERIES = [
     # prove the degree/support caps bound the longest task at 10×
     "apriori_triples_copurchase", "adamic_adar_link_prediction",
     "assoc_rules_copurchase",
+    # round 12 batch 2: the domain-bounded-window claims, measured —
+    # conformal's quantized-score cumulative window and gini's
+    # feature-domain histogram windows must stay flat at 10× volume
+    "conformal_threshold_classifier", "gini_best_split_lineitem",
 ]
 
 #: run_batch ladders measured as single entries (batch wall vs the sum
