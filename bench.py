@@ -67,14 +67,20 @@ _AMBIENT_VOTER_MIN_BASELINE_SEC = 0.3
 #: sub-half-second deltas on this host are scheduler/GC noise, not
 #: regressions — single-run baselines vary ±20% at that scale
 _MIN_REGRESSION_ABS_SEC = 0.5
-#: Sub-2 s queries need a LARGER absolute delta to flag (VERDICT r8
+#: Sub-SECOND queries need a LARGER absolute delta to flag (VERDICT r8
 #: #2): their session-to-session band is ±40-50% of wall (codegen
-#:  compile order, GC timing), so a 0.6 s delta on a 1.1 s baseline is
-#: indistinguishable from ambient drift — the r8 driver flag on
-#: autocorrelation_daily_revenue (1.697 vs 1.093) reproduced at
-#: 1.07-1.95 s in one interleaved session with no code change.
-_MIN_REGRESSION_ABS_SEC_SUB2 = 1.0
-_SUB2_BASELINE_SEC = 2.0
+#: compile order, GC timing), so a 0.6 s delta on a 0.8 s baseline is
+#: indistinguishable from ambient drift.  Originally this 1 s gate
+#: covered all baselines under 2 s, but that let a genuine 1.58×
+#: median (embedding_split_contamination, 2.70 vs 1.706 — delta
+#: 0.994 s) slip the gate by 6 ms and never reach arbitration
+#: (VERDICT r12 #1).  Since round 12 the min-of-retries arbitration
+#: absorbs one-sided stall noise IN-RUN, so the wide gate is no longer
+#: the only defence: baselines in [1, 2) s now use the standard 0.5 s
+#: gate and rely on arbitration to clear ambient flags; only sub-1 s
+#: baselines (which also get steady-state warm runs) keep the 1 s gate.
+_MIN_REGRESSION_ABS_SEC_SUB1 = 1.0
+_SUB1_BASELINE_SEC = 1.0
 
 #: Steady-state mode for the noise floor (VERDICT r10 #7): rows with a
 #: sub-second baseline measure codegen/janino/GC fixed costs as much as
@@ -113,15 +119,17 @@ def is_flagged(
 ) -> bool:
     """True when *t* regresses vs its baseline at ambient *drift*:
     ratio over REGRESSION_RATIO AND a non-trivial absolute delta
-    (sub-2 s baselines need a 1 s delta — their session band is
-    ±40-50%).  Module-level (not a main() closure) so the retry policy
-    is unit-testable without Spark (tests/test_tools_bench.py)."""
+    (sub-1 s baselines need a 1 s delta — their session band is
+    ±40-50%; [1, 2) s baselines use the standard 0.5 s gate since
+    round 13, with in-run arbitration absorbing stall noise).
+    Module-level (not a main() closure) so the retry policy is
+    unit-testable without Spark (tests/test_tools_bench.py)."""
     if name not in baseline or baseline[name] <= 0:
         return False
     eff = baseline[name] * drift
     min_abs = (
-        _MIN_REGRESSION_ABS_SEC_SUB2
-        if baseline[name] < _SUB2_BASELINE_SEC
+        _MIN_REGRESSION_ABS_SEC_SUB1
+        if baseline[name] < _SUB1_BASELINE_SEC
         else _MIN_REGRESSION_ABS_SEC
     )
     return t > REGRESSION_RATIO * eff and t - eff > min_abs
@@ -647,6 +655,13 @@ def main() -> None:
         ),
         key=lambda r: -r["ratio"],
     )
+    # Rows that flagged at their MEDIAN but were cleared by the
+    # min-of-retries arbitration (ADVICE r12 #1): surfaced in the short
+    # stdout line — not only in the sidecar — so a recurring near-miss
+    # stays visible across rounds instead of silently self-clearing.
+    arbitrated_clear = sorted(
+        n for n, a in arbitration.items() if not a["still_flagged"]
+    )
 
     detail = {
         "metric": "headline_queries_total_wall_sec",
@@ -659,6 +674,7 @@ def main() -> None:
         "requires_arbitration": requires_arbitration,
         "regressions": regressions,
         "flag_arbitration": arbitration,
+        "arbitrated_clear": arbitrated_clear,
         "reruns": reruns,
     }
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
@@ -681,6 +697,7 @@ def main() -> None:
                 "ambient_drift": drift,
                 "requires_arbitration": requires_arbitration,
                 "regressions": [r["query"] for r in regressions[:8]],
+                "arbitrated_clear": arbitrated_clear[:8],
             }
         )
     )

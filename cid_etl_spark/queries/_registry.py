@@ -422,6 +422,40 @@ _ROUND11_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the round-12 driver window hash-verified
+#: (CORRECTNESS_r12.json, 50/50 green): the 6 priority rows (ADVICE
+#: r11 closeouts + the two sf1-guard plan rewrites), the 12 new
+#: round-12 queries, and the 32-row fill from the r5/r6-latest tail.
+_ROUND12_VERIFIED: frozenset[str] = frozenset(
+    {
+        "adamic_adar_link_prediction", "anti_join_idle_customers",
+        "apriori_triples_copurchase", "array_functions_suite",
+        "asof_prior_purchase", "autocorrelation_daily_revenue",
+        "bpe_token_estimate", "conditional_count_quality",
+        "conformal_threshold_classifier", "cosine_topk_bruteforce",
+        "count_distinct_per_nation", "cramers_v_categorical",
+        "cube_lineitem_stats", "date_functions_suite",
+        "dedup_exact_documents", "embedding_neardup_exact",
+        "embedding_split_contamination", "ewma_user_values",
+        "except_nations", "from_json_typed_events",
+        "full_outer_order_events", "gini_best_split_lineitem",
+        "group_kfold_split_audit", "grouping_sets_orders",
+        "hill_tail_index_prices", "holt_linear_monthly_revenue",
+        "intersect_nations", "jaro_winkler_part_pairs",
+        "join_chain_revenue", "join_customer_orders",
+        "json_extract_events", "kaplan_meier_conversion",
+        "kendall_tau_top_customers", "lag_order_gaps",
+        "lang_id_documents", "lsh_recall_report",
+        "markov_stationary_events", "mcnemar_heuristic_vs_classifier",
+        "media_meta_stats", "monthly_order_revenue",
+        "ndcg_retrieval_eval", "ngram_jaccard_pairs", "pq_adc_topk",
+        "preference_pairs_by_quality", "readability_documents",
+        "skipgram_cooccurrence_topk", "target_encode_loo_orders",
+        "tokenizer_fertility_by_lang", "weighted_geomean_grouped_agg",
+        "welch_t_test_click_purchase",
+    }
+)
+
 #: All driver-verified rounds, oldest first — the freshness ladder
 #: behind :func:`_ordered_names`.  A name appearing in several sets is
 #: dated by its LATEST green row.
@@ -429,35 +463,27 @@ _VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _ROUND1_VERIFIED, _ROUND2_VERIFIED, _ROUND3_VERIFIED,
     _ROUND4_VERIFIED, _ROUND5_VERIFIED, _ROUND6_VERIFIED,
     _ROUND7_VERIFIED, _ROUND8_VERIFIED, _ROUND9_VERIFIED,
-    _ROUND10_VERIFIED, _ROUND11_VERIFIED,
+    _ROUND10_VERIFIED, _ROUND11_VERIFIED, _ROUND12_VERIFIED,
 )
 
-#: Round-12 driver window.  The priority rows are the three ADVICE r11
-#: closeouts whose plan or oracle changed plus the guarded
-#: applyInPandas recurrence row.  New round-12 queries are
+#: Round-13 driver window.  The priority rows are the three ADVICE r12
+#: closeouts whose code changed this round.  New round-13 queries are
 #: never-verified, so rule 2 of ``_ordered_names`` places them right
 #: after this block automatically.  The remaining slots fall through
-#: to the freshness rule, led by the two r5-latest alphabetic
-#: stragglers (target_encode_loo_orders, tokenizer_fertility_by_lang)
-#: that the r11 window displaced, then the r6-latest tail — after r12
-#: no oracled row's latest driver green predates round 5 (VERDICT r11
-#: #3's "no row older than r5" bar).
+#: to the freshness rule: after the r12 window every oracled row's
+#: latest green is r6+, so the fill starts at the r6-latest tail
+#: (VERDICT r12 #2's "no row older than r6 after r13" bar).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-12 ADVICE r11 closeouts changed these three plans/oracles
-    # (queries/round11.py): Holt single-month trend guard mirrored in
-    # the recursive-CTE oracle, NDCG constants interpolated into the
-    # SQL, zero-norm cosine guard mirrored in the contamination oracle.
-    "holt_linear_monthly_revenue",
-    "ndcg_retrieval_eval",
-    "embedding_split_contamination",
-    # group-size guard added inside the applyInPandas recurrence
-    # (VERDICT r11 #7): the plan is unchanged but the Arrow worker
-    # code path is, so the row re-proves bit-parity through it
-    "ewma_user_values",
-    # r12 sf1-guard violations fixed by PLAN REWRITES (width-adaptive
-    # AA pair stage; order-keyed Apriori counting) — both re-verified
+    # ADVICE r12 closeouts changed these plans/oracles this round:
+    # Hill estimator gained a nullif zero-sum guard in BOTH engines
+    # (round12.py), the conformal calibration threshold was trimmed to
+    # exactly 32 hex chars (value-identical, but the constant feeds
+    # both the Spark filter and the SQL oracle), and adamic_adar's
+    # sizing aggregate is now skippable under SPARK_GRAFT_PLAN_ONLY
+    # (production path unchanged, but the function body is).
+    "hill_tail_index_prices",
+    "conformal_threshold_classifier",
     "adamic_adar_link_prediction",
-    "apriori_triples_copurchase",
 )
 
 

@@ -97,7 +97,9 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume with every node under the cap (longest task 37 s, 30 GB of
     hash-agg spill at 32 partitions).  The pair stage is therefore
     WIDTH-ADAPTIVE: one bounded 1-row aggregate measures the exact
-    pair volume sum(min(d,cap)^2) and the self-join repartitions to
+    pair volume sum(d^2) over voting nodes (2 <= d <= cap; hubs above
+    the cap are excluded by the between-filter, not clamped — they
+    contribute 0, not cap^2) and the self-join repartitions to
     ceil(volume / _AA_PAIRS_PER_TASK) node partitions, so the longest
     task carries ~constant work at ANY density (the same
     measured-stats-then-size idiom as the LSH hot-bucket guard; the
@@ -134,13 +136,23 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion volume is sum(d^2) over voting nodes — one bounded
     # 1-row action over the node-grain degree table (edges are already
     # checkpointed, so this re-runs one cheap aggregate, not the
-    # basket self-join).
-    pair_volume = (
-        deg.filter(F.col("degree").between(2, _AA_DEGREE_CAP))
-        .agg(F.sum(F.col("degree") * F.col("degree")).alias("v"))
-        .collect()[0]["v"]
-        or 0
-    )
+    # basket self-join).  Plan-only consumers (PLANS.md generation,
+    # batch planning) set SPARK_GRAFT_PLAN_ONLY=1 to skip the sizing
+    # job — it executes Spark work at DataFrame-CONSTRUCTION time
+    # (ADVICE r12 #2), which plan audits neither need nor want to pay;
+    # they fall back to defaultParallelism, which only changes the
+    # repartition width, never the result.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        pair_volume = 0
+    else:
+        pair_volume = (
+            deg.filter(F.col("degree").between(2, _AA_DEGREE_CAP))
+            .agg(F.sum(F.col("degree") * F.col("degree")).alias("v"))
+            .collect()[0]["v"]
+            or 0
+        )
     n_parts = max(
         spark.sparkContext.defaultParallelism,
         -(-int(pair_volume) // _AA_PAIRS_PER_TASK),

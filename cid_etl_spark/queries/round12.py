@@ -429,7 +429,7 @@ WITH top AS (
 SELECT CAST({_HILL_K} AS BIGINT) AS k,
        round(x_tail / 100, 2) AS tail_price,
        round(sum(ln(cents / x_tail)), 6) AS sum_log_ratio,
-       round({_HILL_K} / sum(ln(cents / x_tail)), 6) AS alpha_hill
+       round({_HILL_K} / nullif(sum(ln(cents / x_tail)), 0), 6) AS alpha_hill
 FROM top CROSS JOIN tail
 GROUP BY x_tail
 """
@@ -450,7 +450,10 @@ def hill_tail_index_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut.  Scale: top-(k+1) is TakeOrderedAndProject (per-partition
     heaps — no global sort, no single-partition window), then one
     (k+1)-row aggregate; the float sum runs over {k}+1 ln-ratios of
-    exact integer cents."""
+    exact integer cents.  Degenerate-tail guard (ADVICE r12 #5): when
+    the top k+1 values are all equal every log-ratio is 0 and the
+    divisor vanishes — nullif keeps alpha_hill NULL instead of an
+    engine-dependent infinity, identically in Spark and DuckDB."""
     k = _HILL_K
     top = (
         load_table(spark, sf_dir, "orders")
@@ -464,16 +467,20 @@ def hill_tail_index_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tail = top.agg((F.min("cents") * 1.0).alias("x_tail"))
     joined = top.crossJoin(F.broadcast(tail))
-    return joined.groupBy("x_tail").agg(
-        F.lit(k).cast("bigint").alias("k"),
-        F.round(F.col("x_tail") / 100, 2).alias("tail_price"),
-        F.round(F.sum(F.log(F.col("cents") / F.col("x_tail"))), 6).alias(
-            "sum_log_ratio"
-        ),
-        F.round(
-            k / F.sum(F.log(F.col("cents") / F.col("x_tail"))), 6
-        ).alias("alpha_hill"),
-    ).select("k", "tail_price", "sum_log_ratio", "alpha_hill")
+    return (
+        joined.groupBy("x_tail")
+        .agg(
+            F.sum(F.log(F.col("cents") / F.col("x_tail"))).alias("_slr"),
+        )
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.round(F.col("x_tail") / 100, 2).alias("tail_price"),
+            F.round(F.col("_slr"), 6).alias("sum_log_ratio"),
+            F.round(
+                F.lit(float(k)) / F.nullif(F.col("_slr"), F.lit(0.0)), 6
+            ).alias("alpha_hill"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -763,8 +770,12 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: md5-hex threshold putting ~20% of doc_ids in the CALIBRATION split
-#: (same split idiom as holdout_split_documents).
-_CONF_CALIB_HEX = "3333333333333333333333333333333333"
+#: (same split idiom as holdout_split_documents).  Exactly 32 hex
+#: chars — the length of the md5 digest it is compared against
+#: (ADVICE r12 #3: the original 34-char constant behaved identically
+#: under lexicographic compare but was a trap for anyone retuning the
+#: split fraction).
+_CONF_CALIB_HEX = "3" * 32
 _CONF_ALPHAS = (0.1, 0.2)
 
 #: The classifier-confidence + heuristic-label CTE stack, shared text

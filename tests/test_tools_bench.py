@@ -21,7 +21,7 @@ _SPEC = importlib.util.spec_from_file_location(
 bench = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(bench)
 
-BASE = {"fast": 0.8, "slow": 4.0}
+BASE = {"fast": 0.8, "mid": 1.7, "slow": 4.0}
 
 
 def test_is_flagged_ratio_and_absolute_floor():
@@ -29,13 +29,29 @@ def test_is_flagged_ratio_and_absolute_floor():
     assert bench.is_flagged("slow", 6.4, BASE)
     # 1.4x: under REGRESSION_RATIO -> green
     assert not bench.is_flagged("slow", 5.6, BASE)
-    # sub-2s baseline needs a >=1 s absolute delta: 0.8 -> 1.5 is a
+    # sub-1s baseline needs a >=1 s absolute delta: 0.8 -> 1.5 is a
     # 1.9x ratio but only a 0.7 s delta -> green (session band)
     assert not bench.is_flagged("fast", 1.5, BASE)
     assert bench.is_flagged("fast", 2.2, BASE)
     # unknown / zero baselines never flag
     assert not bench.is_flagged("new", 99.0, BASE)
     assert not bench.is_flagged("z", 99.0, {"z": 0.0})
+
+
+def test_is_flagged_one_to_two_second_band_uses_half_second_gate():
+    # VERDICT r12 #1: embedding_split_contamination (2.70 vs 1.706 —
+    # ratio 1.58, delta 0.994 s) slipped the old 1 s sub-2 s gate by
+    # 6 ms and never reached arbitration.  Baselines in [1, 2) s now
+    # use the standard 0.5 s gate: the same numbers flag (and then
+    # self-arbitrate at the min).
+    assert bench.is_flagged("mid", 2.70, BASE)  # 1.59x, delta 1.0
+    # the exact 6 ms-slip shape from r12 on a 1.706 baseline
+    assert bench.is_flagged("x", 2.70, {"x": 1.706})
+    # oov_rate_by_split shape: 1.53 vs 1.016 -> 1.51x, delta 0.514
+    assert bench.is_flagged("y", 1.53, {"y": 1.016})
+    # under-ratio or under-delta stays green
+    assert not bench.is_flagged("mid", 2.4, BASE)  # 1.41x
+    assert not bench.is_flagged("y", 1.45, {"y": 1.016})  # delta 0.43
 
 
 def test_is_flagged_scales_with_ambient_drift():

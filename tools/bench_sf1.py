@@ -73,6 +73,18 @@ QUERIES = [
     # conformal's quantized-score cumulative window and gini's
     # feature-domain histogram windows must stay flat at 10× volume
     "conformal_threshold_classifier", "gini_best_split_lineitem",
+    # round 13 (VERDICT r12 #3): the r12 compute-heavy rows — prove
+    # the bounded O(N²) Kendall pair sweep, the 8-round checkpointed
+    # Markov power iteration, and the ±2-window skip-gram pair shuffle
+    # hold their per-task bounds at 10× volume
+    "kendall_tau_top_customers", "markov_stationary_events",
+    "skipgram_cooccurrence_topk",
+    # round 13 (VERDICT r12 #4): standing rows for the stateful
+    # streaming paths at 10× events, so streaming scale evidence
+    # refreshes per-round instead of resting on round-5's probe #4 —
+    # state stays bounded by |users| / the watermark horizon, not by
+    # input volume
+    "stream_user_totals_stateful", "stream_dedup_admission",
 ]
 
 #: run_batch ladders measured as single entries (batch wall vs the sum

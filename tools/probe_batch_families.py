@@ -55,7 +55,24 @@ LADDERS = {
         "window_topk_orders_per_customer", "lag_order_gaps",
         "window_running_revenue",
     ],
+    # round 13 (VERDICT r12 #6): the r11/r12 lexical consumers folded
+    # into the standing lexical batch — skipgram_cooccurrence_topk
+    # consumes doc_token_seq, ndcg_retrieval_eval token_stream, so the
+    # mixed ladder materializes BOTH canonical fragments once and
+    # shares them across all 10 members
+    "lexical_mixed_r13": [
+        "top_ngrams_per_lang", "vocab_encode_documents",
+        "unigram_logprob_score", "inverted_index_lookup",
+        "tfidf_top_terms", "bm25_search_documents",
+        "ccnet_quality_buckets", "hybrid_rrf_search",
+        "skipgram_cooccurrence_topk", "ndcg_retrieval_eval",
+    ],
 }
+
+#: ladder name → verify member digest parity batch-vs-solo after the
+#: timing modes (VERDICT r12 #6's "member digests equal to solo runs"
+#: bar, applied to the new mixed ladder)
+LADDER_VERIFY_DIGESTS = {"lexical_mixed_r13"}
 
 #: ladder name → bucket_facts declaration passed to run_batch for an
 #: EXTRA measured mode (bucketed-fact materialization, round 9)
@@ -64,8 +81,41 @@ LADDER_BUCKET_FACTS = {
 }
 
 
+def _digest(df):
+    """Order-insensitive (n_rows, sum-of-48-bit-md5-prefix) digest over
+    the frame's canonicalized rows — same canon as the registered
+    run_batch_*_verified rows (sorted columns, %.4f doubles, NULL-safe)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in sorted(df.columns):
+        if df.schema[c].dataType.simpleString() == "double":
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                    F.format_string("%.4f", F.col(c))
+                )
+            )
+        else:
+            parts.append(F.col(c).cast("string"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10
+    ).cast("bigint")
+    r = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(h).cast("bigint").alias("d"),
+    ).collect()[0]
+    return (r["n"], r["d"])
+
+
 def main() -> None:
+    import argparse
+
     from cid_etl_spark.queries import spark_queries
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma list of ladder names")
+    args = ap.parse_args()
+    only = {s for s in args.only.split(",") if s}
 
     spark = get_spark("probe-batch-families")
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,6 +139,8 @@ def main() -> None:
         return ts[1]
 
     for ladder, names in LADDERS.items():
+        if only and ladder not in only:
+            continue
         seq = med3(lambda: [noop(queries[n](spark, SF)) for n in names])
         bat_serial = med3(
             lambda: run_batch(spark, SF, names, max_concurrency=1)
@@ -108,6 +160,18 @@ def main() -> None:
             f"speedup={seq / bat:.2f}x{extra}",
             flush=True,
         )
+        if ladder in LADDER_VERIFY_DIGESTS:
+            batch_digests = run_batch(spark, SF, names, action=_digest)
+            mismatches = []
+            for n in names:
+                solo = _digest(queries[n](spark, SF))
+                if solo != tuple(batch_digests[n]):
+                    mismatches.append((n, solo, batch_digests[n]))
+            print(
+                f"DIGESTS {ladder}: "
+                + ("all_equal" if not mismatches else f"MISMATCH {mismatches}"),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
