@@ -856,10 +856,15 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin walks ``e_t = (1-a)·e_{t-1} + a·x_t`` in the same operand
     order and the round-1 rows-only entry becomes a hard hash-checked
     row.  Rounded to 6 digits on both sides; ties on ts broken by
-    event_id for an engine-independent order."""
+    event_id for an engine-independent order.
+
+    r13: the scan stays unspread — the bucketed grouped-map's own hash
+    exchange distributes the work, so the round-robin pre-shuffle only
+    added a second full pass over the fact (guide §2.4; at 100 TB the
+    scan has enough splits that _spread is a no-op either way)."""
     from cid_etl_spark.operators.timeseries import ewma_by_key
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", spread=False).select(
         "user_id", "event_id", "ts", "value"
     )
     return ewma_by_key(ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak="event_id")
