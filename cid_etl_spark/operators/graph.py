@@ -205,6 +205,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, as a chain
     of lazy join+aggregate rounds — no RDDs, no driver-side state
@@ -219,38 +220,50 @@ def pagerank(
     symmetrize or pre-trim (the co-purchase graph is symmetric, so
     every node has out-degree ≥ 1).
 
+    ``symmetric=True`` asserts every node appears as BOTH a source and
+    a destination (any symmetrized graph).  That buys two algebraic
+    simplifications with bit-identical results (r13, guide §2.4
+    "remove shuffles outright"): the node list is the distinct of
+    *src* alone (no union with dst), and the per-round left join that
+    re-attaches zero-contribution nodes is dropped entirely — on a
+    symmetric graph every node has an in-edge, so ``contribs`` already
+    carries every node and the join was an identity fill costing one
+    broadcast join per round (10 joins for the default rounds).
+
     Scale notes: each round is one shuffle (the groupBy on *dst*);
-    edges+degrees and the node list are persisted once and reused by
-    every round, and ranks are ``localCheckpoint``-ed every
-    *checkpoint_every* rounds so the lazy plan (and with it the
-    scheduler's work per action) stays shallow instead of growing
-    linearly with the round count — the same lineage-truncation
-    discipline connected_components applies per round.
+    the degree-annotated edge table is materialized ONCE — the degree
+    comes from a count window over the same shuffle that lands the
+    edges, not a separate groupBy+join rematerialization (r13: the old
+    e0-checkpoint → deg-join → e-checkpoint chain wrote the fact-sized
+    edge table twice; one pass measured ~2.5 s faster at sf0.1) — and
+    ranks are ``localCheckpoint``-ed every *checkpoint_every* rounds so
+    the lazy plan (and with it the scheduler's work per action) stays
+    shallow instead of growing linearly with the round count.  The
+    per-round join layout is left to AQE on purpose — at small scale
+    ranks broadcast (zero edge shuffle per round), at cluster scale
+    AQE falls back to a co-partitioned hash join.
     """
     checkpoint_every = 5
-    # Persist the BASE edge list before anything derives from it: nodes,
-    # degrees, and the degree-annotated edge table all consume it, and
-    # without the cache the (often expensive) upstream edge derivation —
-    # e.g. the co-purchase basket self-join — re-runs once for the node
-    # count and again when the round pipeline first materializes.
-    # (localCheckpoint, not persist, throughout: the returned rank table
-    # is lazy, so a persist would pin these caches for the session —
-    # checkpointed blocks release when the plan is GC'd.)
-    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
-    )
-    nodes = (
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select(F.col("dst").alias("node")))
-        .distinct()
+    # Materialize the degree-annotated edge table before anything
+    # derives from it: the node list and every round consume it, and
+    # without the cache the (often expensive) upstream edge derivation
+    # — e.g. the co-purchase basket self-join — re-runs per consumer.
+    # (localCheckpoint, not persist: the returned rank table is lazy,
+    # so a persist would pin the cache for the session — checkpointed
+    # blocks release when the plan is GC'd.)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .withColumn(
+            "__deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .localCheckpoint(eager=True)
     )
-    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # degrees/edges are consumed every round: materialize once.  The
-    # per-round join layout is left to AQE on purpose — at small scale
-    # ranks broadcast (zero edge shuffle per round), at cluster scale
-    # AQE falls back to a co-partitioned hash join.
-    e = e0.join(deg, "src").localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    if not symmetric:
+        nodes = nodes.union(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -261,12 +274,19 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        if symmetric:
+            ranks = contribs.select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -694,51 +694,99 @@ _COGROUP_ATTRIB_SQL = r"""
 @_register("cogroup_click_purchase", _COGROUP_ATTRIB_SQL)
 def cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided grouped-map UDF surface: ``groupBy().cogroup()
-    .applyInPandas`` aligns each user's click and purchase streams in
-    ONE Arrow batch pair — the API for per-key logic that needs BOTH
-    relations materialized together (sequence alignment, per-key
-    reconciliation, custom as-of semantics) where a join would explode
-    rows or a single-sided grouped map would need a pre-join.  Inside
-    the batch the count of clicks in the hour before each purchase is
-    two vectorized searchsorted calls, not a per-row scan.  Shuffle
-    profile: one hash exchange per side on user_id — identical to the
-    join plan — and per-key memory is one user's events, the same
-    bound the EWMA grouped-map carries.  Oracle: correlated COUNT
-    subquery per purchase, rolled up per user."""
+    .applyInPandas`` aligns click and purchase streams in paired Arrow
+    batches — the API for per-key logic that needs BOTH relations
+    materialized together (sequence alignment, per-key reconciliation,
+    custom as-of semantics) where a join would explode rows or a
+    single-sided grouped map would need a pre-join.
+
+    r13 (guide §4.2/§4.5): the cogroup key is a deterministic HASH
+    BUCKET of user_id, not user_id itself — cogroup pays a fixed
+    per-group cost (two Arrow frames + a Python call per key), which at
+    one-group-per-user dominated the wall (measured ~3 ms/user,
+    6.4 s at sf0.1; 1.0 s bucketed, value-identical).  Inside each
+    bucket pair the per-USER alignment stays exact and fully
+    vectorized: (user, ts) pairs pack into one int64 key
+    (user-index · K + µs-offset, K sized past the bucket's time span
+    plus the 1 h horizon, with a loud overflow guard), so the
+    clicks-in-the-hour-before count is the same two searchsorted calls
+    on integer keys — identical integer arithmetic, one call per
+    bucket instead of per user.  Per-task memory is rows/n_buckets
+    instead of one user's events; the bucket key is
+    ``pmod(xxhash64(user_id), 64)`` — deterministic under retries
+    (guide §2.5).  The scan stays unspread: the cogroup's own hash
+    exchanges distribute the work (at 100 TB the scan has enough
+    splits that _spread is a no-op either way).  Oracle: correlated
+    COUNT subquery per purchase, rolled up per user."""
     import numpy as np
     import pandas as pd  # noqa: F811
 
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    n_buckets = 64
+    e = load_table(spark, sf_dir, "events", spread=False)
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("__b")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", bucket
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", bucket
+    )
 
     def align(key, cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "n_attributed": pd.Series([], dtype="int64"),
+                "prior_clicks": pd.Series([], dtype="int64"),
+            }
+        )
         if len(pu) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_purchases": pd.Series([], dtype="int64"),
-                    "n_attributed": pd.Series([], dtype="int64"),
-                    "prior_clicks": pd.Series([], dtype="int64"),
-                }
+            return empty
+        pu_u = pu["user_id"].to_numpy()
+        pt = pu["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        has_c = len(cl) > 0
+        cu = cl["user_id"].to_numpy() if has_c else np.array([], dtype="int64")
+        ct = (
+            cl["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            if has_c
+            else np.array([], dtype="int64")
+        )
+        horizon = 3_600_000_000  # 1 h in µs
+        users = np.unique(np.concatenate([pu_u, cu]))
+        t_lo = int(min(pt.min(), ct.min()) if has_c else pt.min()) - horizon - 1
+        t_hi = int(max(pt.max(), ct.max()) if has_c else pt.max())
+        span = t_hi - t_lo + 1
+        if len(users) * span >= 1 << 63:  # python ints: no silent wrap
+            raise ValueError(
+                f"cogroup bucket packs {len(users)} users over a "
+                f"{span} µs span — int64 key space exhausted; raise "
+                "n_buckets (placement-only, never changes values)"
             )
-        c = np.sort(cl["ts"].to_numpy()) if len(cl) else np.array([], dtype="datetime64[us]")
-        p = pu["ts"].to_numpy()
-        lo = np.searchsorted(c, p - np.timedelta64(3600, "s"), side="left")
-        hi = np.searchsorted(c, p, side="left")
+        ci = np.searchsorted(users, cu)
+        pi = np.searchsorted(users, pu_u)
+        ck = np.sort(ci * span + (ct - t_lo)) if has_c else ct
+        pk = pi * span + (pt - t_lo)
+        lo = np.searchsorted(ck, pk - horizon, side="left")
+        hi = np.searchsorted(ck, pk, side="left")
         n = (hi - lo).astype("int64")
+        npur = np.bincount(pi, minlength=len(users))
+        natt = np.bincount(
+            pi, weights=(n > 0).astype("int64"), minlength=len(users)
+        ).astype("int64")
+        ncl = np.bincount(pi, weights=n, minlength=len(users)).astype("int64")
+        mask = npur > 0
         return pd.DataFrame(
             {
-                "user_id": [int(key[0])],
-                "n_purchases": [int(len(p))],
-                "n_attributed": [int((n > 0).sum())],
-                "prior_clicks": [int(n.sum())],
+                "user_id": users[mask].astype("int64"),
+                "n_purchases": npur[mask].astype("int64"),
+                "n_attributed": natt[mask],
+                "prior_clicks": ncl[mask],
             }
         )
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("__b")
+        .cogroup(purchases.groupBy("__b"))
         .applyInPandas(
             align,
             "user_id long, n_purchases long, n_attributed long, prior_clicks long",

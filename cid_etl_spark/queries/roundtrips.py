@@ -992,10 +992,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     share an order) — the iterative-algorithm family beyond connected
     components: operators.graph.pagerank runs 10 fixed join+aggregate
     rounds, one shuffle per round, degrees and edges materialized once.
-    The co-purchase graph is symmetric, so no dangling-mass handling is
-    needed and out-degree equals in-degree.  The DuckDB twin unrolls
-    the same 10 rounds symbolically; ranks are rounded to 6 digits on
-    both sides after the final round only."""
+    The co-purchase graph is symmetric (both directions of every pair
+    are emitted), so no dangling-mass handling is needed and
+    ``symmetric=True`` applies: the node set is the distinct sources
+    (exactly the oracle's ``SELECT DISTINCT src``) and the per-round
+    zero-fill left join is dropped — identical ranks, ten fewer joins
+    (r13; verified value-identical at sf0.1 and re-oracled).  The
+    DuckDB twin unrolls the same 10 rounds symbolically; ranks are
+    rounded to 6 digits on both sides after the final round only."""
     from cid_etl_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1012,7 +1016,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, damping=0.85, iterations=10)
+    ranks = pagerank(edges, damping=0.85, iterations=10, symmetric=True)
     return ranks.select(
         F.col("node").alias("l_partkey"), F.round("rank", 6).alias("pagerank")
     )
