@@ -455,6 +455,38 @@ def _range_bucketed(
     return b.select(*df.columns, null_branch.otherwise(bucket).alias("__bucket"))
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed intermediate once (guide §5).
+
+    The helpers consume their input three times (the percentile edges
+    pass, the per-bucket counts/sums rollup, and the final tagged-row
+    join), and all three re-derive it concurrently inside one job when
+    left lazy.  For a CHEAP input (a pruned scan, a small rollup —
+    rfm's 15k-row customer table) lazy wins: stage floors dominate and
+    an eager checkpoint serializes a job at plan-build time (the r5/r8
+    A/B precedent recorded in rfm_segmentation_customers).  For an
+    input that is itself an expensive derivation at near-fact grain
+    (weighted_median's 550k-row (flag, cents) rollup, ccnet's scored
+    corpus behind a token explode+join), one localCheckpoint beats
+    three recomputes — measured per call site, opt-in via
+    ``materialize_input=True``.
+
+    Skipped under SPARK_GRAFT_PLAN_ONLY (plan_report/PLANS.md must see
+    the full tree, and plan-only consumers must not execute jobs — the
+    adamic_adar precedent) and inside a run_batch context (the batch
+    materializes shared fragments itself; a per-member checkpoint would
+    break canonical-key sharing)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+        return df
+    from cid_etl_spark.plans.fragments import current_context
+
+    if current_context() is not None:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def bucketed_row_number(
     df: DataFrame,
     key: str,
@@ -463,6 +495,7 @@ def bucketed_row_number(
     id_col: str = "row_id",
     bucket_value: Column | None = None,
     partition_by: tuple[str, ...] = (),
+    materialize_input: bool = False,
 ) -> DataFrame:
     """1-based ``row_number() OVER ([PARTITION BY *partition_by*]
     ORDER BY key, *tiebreaks)`` without the single-partition sort (or,
@@ -488,7 +521,12 @@ def bucketed_row_number(
     ``n_buckets=None`` (the default) resolves adaptively from the
     input's plan-size estimate (:func:`_adaptive_n_buckets`) — one
     flat level for small inputs, the 1024-bucket hybrid above
-    :data:`_ADAPTIVE_SIZE_THRESHOLD`; pass an int to pin it."""
+    :data:`_ADAPTIVE_SIZE_THRESHOLD`; pass an int to pin it.
+    ``materialize_input=True`` checkpoints *df* once instead of
+    re-deriving it per consumer pass (see :func:`materialize_once`;
+    values are identical either way)."""
+    if materialize_input:
+        df = materialize_once(df)
     if n_buckets is None:
         n_buckets = _adaptive_n_buckets(df)
     b = _range_bucketed(
@@ -527,6 +565,7 @@ def bucketed_cumsum(
     inclusive: bool = True,
     prefix: str = "cum_",
     partition_by: tuple[str, ...] = (),
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Cumulative sums ``SUM(c) OVER ([PARTITION BY *partition_by*]
     ORDER BY key ROWS UNBOUNDED PRECEDING [AND CURRENT ROW / AND 1
@@ -543,8 +582,12 @@ def bucketed_cumsum(
     shuffle, plus cross-bucket offsets from a |groups|·*n_buckets*-row
     rollup (its window sorts ≤ *n_buckets* rows per group — bounded by
     a literal, not by data volume).  ``n_buckets=None`` resolves
-    adaptively from the input's plan-size estimate, exactly as in
+    adaptively from the input's plan-size estimate, and
+    ``materialize_input=True`` checkpoints *df* once instead of
+    re-deriving it per consumer pass, exactly as in
     :func:`bucketed_row_number`."""
+    if materialize_input:
+        df = materialize_once(df)
     if n_buckets is None:
         n_buckets = _adaptive_n_buckets(df)
     b = _range_bucketed(df, F.col(key), n_buckets, partition_by)

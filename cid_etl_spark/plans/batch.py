@@ -145,7 +145,16 @@ def derive_query_fragments(
     staging, fixpoint loops) — callers pass *names* to scope the sweep
     when that matters; ``tests/test_batch.py`` runs the full registry
     at sf0.001 and asserts the derived map equals the hand-declared
-    one."""
+    one.
+
+    The sweep is a PLAN-ONLY consumer, so it builds under
+    SPARK_GRAFT_PLAN_ONLY (the adamic_adar sizing-aggregate precedent,
+    extended in r13 to ``materialize_once``): an eager localCheckpoint
+    in a query's build path would both execute a job here and REPLACE
+    the upstream subtree with an opaque RDD scan, hiding exactly the
+    fragment reuse this derivation exists to detect."""
+    import os
+
     from cid_etl_spark.queries import spark_queries
 
     frag_order = list(FRAGMENTS)
@@ -155,8 +164,19 @@ def derive_query_fragments(
     }
     queries = spark_queries()
     derived: dict[str, tuple[str, ...]] = {}
-    for n in names if names is not None else list(queries):
-        root = queries[n](spark, sf_dir)._jdf.queryExecution().analyzed()
+    prior = os.environ.get("SPARK_GRAFT_PLAN_ONLY")
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
+    try:
+        plan_roots = {
+            n: queries[n](spark, sf_dir)._jdf.queryExecution().analyzed()
+            for n in (names if names is not None else list(queries))
+        }
+    finally:
+        if prior is None:
+            os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
+        else:
+            os.environ["SPARK_GRAFT_PLAN_ONLY"] = prior
+    for n, root in plan_roots.items():
         hits = _plan_contains_direct(root, frag_plans)
         if hits:
             derived[n] = tuple(f for f in frag_order if f in hits)
@@ -519,14 +539,22 @@ def run_batch(
             del remaining[f]
 
     _release_done()
+    # Members run under a minimal context (no scratch, derived rollups
+    # disabled) purely so per-member eager materialization
+    # (materialize_once, r13) stands down: cache mode's whole design is
+    # that reuse comes from the persisted fragment rows, and a member
+    # checkpoint would copy data the cache already pins (and leave a
+    # transient RDD pin the caller's leak contract would see).
+    ctx = _frag.BatchContext(spark, sf_dir, scratch="", derived_enabled=False)
     results: dict[str, Any] = {}
     try:
-        for n in member_names:
-            results[n] = action(fns[n](spark, sf_dir))
-            for f in qf.get(n, ()):
-                if f in remaining:
-                    remaining[f] -= 1
-            _release_done()
+        with _frag.batch_context(ctx):
+            for n in member_names:
+                results[n] = action(fns[n](spark, sf_dir))
+                for f in qf.get(n, ()):
+                    if f in remaining:
+                        remaining[f] -= 1
+                _release_done()
     finally:
         for f in list(remaining):
             built[f].unpersist()

@@ -15,6 +15,7 @@ from cid_etl_spark.operators.aggregates import (
     bucketed_cumsum,
     bucketed_row_number,
     exact_ntile,
+    materialize_once,
 )
 from cid_etl_spark.sources.parquet import load_table
 
@@ -638,6 +639,7 @@ def gini_by_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    rev = materialize_once(rev)
     stats = rev.groupBy("region").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
@@ -1414,6 +1416,7 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |langs| ≈ 5, so Window.partitionBy("lang") puts ~corpus/5 docs
     # through each sort task at 100×.  Exact ntile(3) arithmetic on the
     # partitioned bucketed rank + a |langs|-row count rollup instead.
+    scored = materialize_once(scored)
     lang_n = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
     ranked = bucketed_row_number(
         scored,
@@ -1492,7 +1495,9 @@ def ks_test_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_v = pool.groupBy("v").agg(
         F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c0")
     )
-    cum = bucketed_cumsum(by_v, "v", ("c1", "c0")).select(
+    cum = bucketed_cumsum(
+        by_v, "v", ("c1", "c0"), materialize_input=True
+    ).select(
         F.col("cum_c1").alias("a1"), F.col("cum_c0").alias("a0")
     )
     return (
@@ -1904,13 +1909,13 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) windows + a 3·1024-row offset rollup) and the per-flag
     total from a 3-row rollup broadcast — identical integers, no
     fact-sized sort task."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     w = li.select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    g = w.groupBy("flag", "cents").agg(F.sum("q").alias("qsum"))
+    g = materialize_once(w.groupBy("flag", "cents").agg(F.sum("q").alias("qsum")))
     tots = g.groupBy("flag").agg(F.sum("qsum").alias("tot"))
     c = bucketed_cumsum(
         g, "cents", ("qsum",), partition_by=("flag",)
@@ -2257,8 +2262,10 @@ def mann_whitney_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("g"),
     )
-    by_v = pool.groupBy("v").agg(
-        F.sum("g").alias("c1"), F.count(F.lit(1)).alias("ct")
+    by_v = materialize_once(
+        pool.groupBy("v").agg(
+            F.sum("g").alias("c1"), F.count(F.lit(1)).alias("ct")
+        )
     )
     cum = bucketed_cumsum(by_v, "v", ("ct",), inclusive=False).select(
         "c1", "ct", F.col("cum_ct").alias("below")

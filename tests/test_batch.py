@@ -65,8 +65,13 @@ def test_run_batch_matches_per_query_results(spark):
             out.add(it.next())
         return out
 
-    pinned_before = pinned_ids()
     want = {n: rows(queries[n](spark, SF)) for n in BATCH}
+    # baseline AFTER the standalone runs: since r13, standalone members
+    # may pin short-lived localCheckpoint RDDs (materialize_once) that
+    # ContextCleaner collects on its own schedule — the leak contract
+    # under test is "run_batch leaves no NEW pins", not "standalone
+    # plans never checkpoint"
+    pinned_before = pinned_ids()
     # default mode: parquet-materialized fragments + concurrent members
     got = run_batch(spark, SF, BATCH, action=rows)
     assert set(got) == set(want)
@@ -87,13 +92,21 @@ def test_run_batch_matches_per_query_results(spark):
     assert pinned_ids() - pinned_before == set()
 
 
-def test_fragment_substitution_fires(spark):
+def test_fragment_substitution_fires(spark, monkeypatch):
     """Caching the fragment must change each consumer's EXECUTED plan
     (InMemoryTableScan appears) — this is what keeps QUERY_FRAGMENTS
     honest: if a refactor drifts a query off the canonical helper, the
-    subtree no longer matches and this test fails for that query."""
+    subtree no longer matches and this test fails for that query.
+
+    Built under SPARK_GRAFT_PLAN_ONLY: this is a plan-shape assertion,
+    and the r13 ``materialize_once`` checkpoints (skipped under the
+    flag) would otherwise replace the consumer's upstream subtree with
+    an opaque RDD scan — the cache IS still hit on the production
+    path (the checkpoint's own job reads the InMemoryTableScan), the
+    substitution just isn't visible in the post-checkpoint plan."""
     from cid_etl_spark.queries import spark_queries
 
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
     queries = spark_queries()
     for frag_name, builder in FRAGMENTS.items():
         consumers = [
