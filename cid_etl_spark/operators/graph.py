@@ -44,6 +44,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of every edge — ``(u, v)`` and ``(v, u)`` — in
+    ONE pass over *edges* via a 2-element explode, NOT
+    ``e.unionAll(e.swap)`` (r14, guide §2.4): a union references the
+    edge plan twice, so the (often expensive) upstream derivation —
+    e.g. the co-purchase basket self-join — executes once per branch
+    inside the very job that materializes the adjacency checkpoint.
+    The explode is a map-side Generate over a single derivation; the
+    output multiset is identical (each input row contributes exactly
+    its two directed copies).  Deduplication stays the CALLER's
+    choice, as before."""
+    u, v = F.col(src), F.col(dst)
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(u.alias("u"), v.alias("v")),
+                F.struct(v.alias("u"), u.alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -63,16 +85,17 @@ def connected_components(
     cheap count on the changed set (labels only ever decrease, so
     "no label decreased" == fixpoint).
     """
-    # Materialize the (possibly expensive) pair plan ONCE — the
-    # symmetric union below references it twice, and every round joins
-    # against it.
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    # Materialize the (possibly expensive) pair plan ONCE, already
+    # symmetrized and deduped — every round joins against it.  One
+    # checkpoint instead of the r13 two (pairs eagerly, then the
+    # symmetric union lazily): the explode emits both directions in the
+    # same pass, so the pair derivation runs once and the edge table is
+    # written once, not twice (guide §2.4/§5).
     sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        _symmetrize(edges, src, dst)
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -139,12 +162,6 @@ def connected_components_star(
     :func:`connected_components`; tests pin the two against each other
     on random graphs and pin the round count on long chains.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=True)
-    )
-
     def checksum(df: DataFrame):
         # decimal sum: exact and overflow-free under ANSI mode (a raw
         # BIGINT sum of xxhash64 values overflows immediately)
@@ -157,9 +174,20 @@ def connected_components_star(
         ).collect()[0]
         return row.n, row.h
 
-    cur = e.distinct().localCheckpoint(eager=True)
+    # ONE materialization of the (possibly expensive) pair plan: the
+    # r13 shape checkpointed the raw pair list eagerly AND the distinct
+    # of it eagerly — writing the edge table twice back to back
+    # (guide §2.4/§5); the distinct folds into the same first job.
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     prev_sig = None
     for _ in range(max_iter):
+        # cur is always checkpointed here, so the two union branches
+        # read materialized blocks — no derivation re-runs
         sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
         mins = sym.groupBy("a").agg(F.min("b").alias("__mn"))
@@ -242,6 +270,19 @@ def pagerank(
     per-round join layout is left to AQE on purpose — at small scale
     ranks broadcast (zero edge shuffle per round), at cluster scale
     AQE falls back to a co-partitioned hash join.
+
+    SKEW CAVEAT (VERDICT r13 #3) on the degree window: ``count(1) OVER
+    (PARTITION BY src)`` ships every edge of a hot source to one task
+    with no partial aggregation.  On symmetric graphs (every caller
+    here) support-thresholded co-purchase degrees are bounded by
+    basket overlap — ``tools/probe_graph_skew.py`` measures the
+    fixture's hottest src at a few hundred edges, orders below task
+    grain.  A hot-key DIRECTED graph (web crawl with a super-hub)
+    skews this window harder than the old groupBy+join shape only when
+    the degree table outgrows the broadcast threshold — below it the
+    groupBy+join never shuffled the edges at all.  Such callers should
+    pre-aggregate degrees two-phase (salt, sum) and join, trading the
+    single-pass materialization back for skew immunity.
     """
     checkpoint_every = 5
     # Materialize the degree-annotated edge table before anything
@@ -389,24 +430,30 @@ def label_propagation(
     read the previous round's labels), so the result is a pure
     function of the graph.  Per round: one edge⋈label join (AQE
     broadcasts the label table when it fits) and one (node, label)
-    count + per-node argmax — shuffle keyed by node, partial
-    aggregation map-side.  ``localCheckpoint`` every
+    count + per-node argmax — both AGGREGATES with map-side partial
+    combine (r14, guide §2.3/§2.4: the argmax was a row_number window
+    over a per-node sort; ``min(struct(-cnt, label))`` picks the
+    identical winner — largest cnt, ties to smallest label; (node,
+    label) rows are unique post-count so no further ties exist — with
+    no sort and partial aggregation).  ``localCheckpoint`` every
     *checkpoint_every* rounds truncates the growing lineage exactly as
     the other iterative operators do.
 
-    Input edges are treated as UNDIRECTED (symmetrized here);
-    disconnected input nodes never appear (edge-derived node set).
-    Returns ``(node, community)``.
+    Input edges are treated as UNDIRECTED (symmetrized here in one
+    explode pass — see :func:`_symmetrize`); disconnected input nodes
+    never appear (edge-derived node set).  Returns
+    ``(node, community)``.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    ).distinct()
     # localCheckpoint, not persist: adj is consumed every round, and a
     # persist here would pin executor storage for the session (the
     # operator never gets a safe point to unpersist a lazily-consumed
     # cache) — same discipline as bfs_distances/triangle_count.
-    adj = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    adj = _symmetrize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "u",
+        "v",
     ).localCheckpoint(eager=True)
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -418,11 +465,13 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        best = F.min(
+            F.struct((-F.col("cnt")).alias("__nc"), F.col("label"))
+        ).alias("__best")
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(best)
+            .select("node", F.col("__best.label").alias("label"))
         )
         if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
@@ -450,13 +499,16 @@ def bfs_distances(
     (no infinity sentinel to disagree about).  *sources* is a
     one-column DataFrame of seed nodes at distance 0.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    ).distinct()
     # localCheckpoint: adj is consumed every round — truncating its
-    # lineage keeps the final plan shallow (see triangle_count)
-    adj = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # lineage keeps the final plan shallow (see triangle_count); the
+    # explode symmetrization derives the edge plan ONCE (r14, was a
+    # two-branch union re-running the derivation per direction)
+    adj = _symmetrize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "u",
+        "v",
     ).localCheckpoint(eager=True)
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0).cast("int").alias("dist")
@@ -496,11 +548,12 @@ def kcore_peel(
     ``(node, core_degree)`` for nodes surviving all rounds, with their
     degree inside the surviving subgraph.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    ).distinct()
-    adj = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    adj = _symmetrize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "u",
+        "v",
     ).localCheckpoint(eager=True)
     for r in range(rounds):
         deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))

@@ -100,7 +100,7 @@ def ewma_by_key(
     alpha: float = 0.3,
     tiebreak: str | None = None,
     max_group_rows: int = MAX_GROUP_ROWS,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact exponentially-weighted moving average per key, ordered by
     *ts_col* (ties broken by *tiebreak* for engine-independent order).
@@ -122,9 +122,15 @@ def ewma_by_key(
     — deterministic under retries (guide §2.5), and the per-task frame
     bound becomes rows/n_buckets instead of the largest single key's
     series; *max_group_rows* now guards the whole bucket frame, which
-    is strictly stronger insurance than the old per-key check.  Raise
-    *n_buckets* for bigger corpora (it only controls placement, never
-    values); the per-key state is still one float per series.
+    is strictly stronger insurance than the old per-key check.
+    ``n_buckets=None`` (default since r14 — VERDICT r13 #1) resolves
+    adaptively from the input's plan-size estimate so rows/n_buckets
+    stays under *max_group_rows* at any input size (the r13 fixed 256
+    meant a ≳512M-row input ALWAYS tripped the frame guard and capped
+    the stage at 256 tasks); the count only controls placement, never
+    values — NULL keys included: both pandas groupbys run
+    ``dropna=False`` (ADVICE r13 #3), so a null-keyed series gets the
+    same recurrence Spark's groupBy gave it pre-r13 instead of NaN.
     """
     import pandas as pd
 
@@ -138,7 +144,7 @@ def ewma_by_key(
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["__bucket"])
         if len(pdf) > max_group_rows:
-            sizes = pdf.groupby(key_cols, sort=False).size()
+            sizes = pdf.groupby(key_cols, sort=False, dropna=False).size()
             key = sizes.idxmax()
             raise ValueError(
                 f"ewma_by_key group {key} has {sizes.max()} rows in a "
@@ -149,8 +155,11 @@ def ewma_by_key(
                 "docstring)"
             )
         pdf = pdf.sort_values(key_cols + order_cols, kind="mergesort")
+        # dropna=False (ADVICE r13 #3): a NULL key is its own group and
+        # gets the recurrence, exactly like Spark's groupBy pre-r13 —
+        # the default dropna=True left those rows NaN after alignment
         ewma = (
-            pdf.groupby(key_cols, sort=False)[value_col]
+            pdf.groupby(key_cols, sort=False, dropna=False)[value_col]
             .ewm(alpha=alpha, adjust=False)
             .mean()
             .round(6)
@@ -162,6 +171,10 @@ def ewma_by_key(
         )
         return pdf
 
+    if n_buckets is None:
+        from cid_etl_spark.operators.aggregates import adaptive_group_buckets
+
+        n_buckets = adaptive_group_buckets(df, max_group_rows, floor=256)
     bucketed = df.withColumn(
         "__bucket", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
     )

@@ -148,13 +148,15 @@ def derive_query_fragments(
     one.
 
     The sweep is a PLAN-ONLY consumer, so it builds under
-    SPARK_GRAFT_PLAN_ONLY (the adamic_adar sizing-aggregate precedent,
-    extended in r13 to ``materialize_once``): an eager localCheckpoint
-    in a query's build path would both execute a job here and REPLACE
-    the upstream subtree with an opaque RDD scan, hiding exactly the
-    fragment reuse this derivation exists to detect."""
-    import os
-
+    ``plans.fragments.plan_only`` (the adamic_adar sizing-aggregate
+    precedent, extended in r13 to ``materialize_once``; THREAD-LOCAL
+    since r14 — ADVICE r13 #4: the env-var toggle made concurrent
+    builds on other threads skip their checkpoints): an eager
+    localCheckpoint in a query's build path would both execute a job
+    here and REPLACE the upstream subtree with an opaque RDD scan,
+    hiding exactly the fragment reuse this derivation exists to
+    detect."""
+    from cid_etl_spark.plans.fragments import plan_only
     from cid_etl_spark.queries import spark_queries
 
     frag_order = list(FRAGMENTS)
@@ -164,18 +166,11 @@ def derive_query_fragments(
     }
     queries = spark_queries()
     derived: dict[str, tuple[str, ...]] = {}
-    prior = os.environ.get("SPARK_GRAFT_PLAN_ONLY")
-    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
-    try:
+    with plan_only():
         plan_roots = {
             n: queries[n](spark, sf_dir)._jdf.queryExecution().analyzed()
             for n in (names if names is not None else list(queries))
         }
-    finally:
-        if prior is None:
-            os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
-        else:
-            os.environ["SPARK_GRAFT_PLAN_ONLY"] = prior
     for n, root in plan_roots.items():
         hits = _plan_contains_direct(root, frag_plans)
         if hits:
@@ -242,6 +237,7 @@ def _resolve_members(
         pairs = list(names.items())
     else:
         pairs = [(n, None) for n in names]
+    from cid_etl_spark.plans.fragments import plan_only
     from cid_etl_spark.queries import spark_queries
 
     registered = spark_queries()
@@ -262,10 +258,14 @@ def _resolve_members(
                     .analyzed()
                     for f in FRAGMENTS
                 }
-            hits = _plan_contains_direct(
-                fn(spark, sf_dir)._jdf.queryExecution().analyzed(),
-                frag_plans,
-            )
+            # plan-only: the ad-hoc member is built here ONLY to match
+            # its analyzed tree against the fragment subtrees — an
+            # eager materialize_once checkpoint would both run jobs at
+            # planning time and hide the very subtrees being matched
+            # (ADVICE r13 #1)
+            with plan_only():
+                root = fn(spark, sf_dir)._jdf.queryExecution().analyzed()
+            hits = _plan_contains_direct(root, frag_plans)
             if hits:
                 qf[n] = tuple(f for f in FRAGMENTS if f in hits)
     return [n for n, _ in pairs], fns, qf
@@ -385,9 +385,17 @@ def advise_bucket_facts(
             else:
                 col_table[c] = t
     votes: dict[tuple[str, str], int] = {}
+    from cid_etl_spark.plans.fragments import plan_only
+
     for n in names:
         try:
-            root = fns[n](spark, sf_dir)._jdf.queryExecution().analyzed()
+            # plan-only (ADVICE r13 #1): the member plan is built only
+            # to read its equi-grain keys; above the size gate (real
+            # scale) an eager materialize_once would otherwise run
+            # checkpoint jobs during planning AND replace the upstream
+            # subtree — hiding the scans/keys this walk votes on
+            with plan_only():
+                root = fns[n](spark, sf_dir)._jdf.queryExecution().analyzed()
         except Exception:
             continue  # a member that fails to plan simply doesn't vote
         for col in _equi_grain_names(root):

@@ -172,6 +172,37 @@ def batch_context(ctx: BatchContext | None):
         _TLS.ctx = prev
 
 
+@contextmanager
+def plan_only():
+    """Mark THIS THREAD as a plan-only consumer for the block: query
+    builders must not execute Spark jobs at DataFrame-construction time
+    (eager ``materialize_once`` checkpoints, sizing aggregates) — the
+    caller only wants the analyzed/optimized tree.
+
+    Thread-local on purpose (ADVICE r13 #4): the r13 implementation
+    toggled the process-global ``SPARK_GRAFT_PLAN_ONLY`` env var, so a
+    query concurrently building on ANOTHER thread (e.g. a
+    materialize-mode batch's worker threads) silently skipped its
+    checkpoints during the window.  The env var remains as a
+    process-level override for whole-process plan audits
+    (``tools/plan_report.py`` sets it before anything builds)."""
+    prev = getattr(_TLS, "plan_only", False)
+    _TLS.plan_only = True
+    try:
+        yield
+    finally:
+        _TLS.plan_only = prev
+
+
+def plan_only_active() -> bool:
+    """True when the current thread is building plans only (see
+    :func:`plan_only`), or the whole process is
+    (``SPARK_GRAFT_PLAN_ONLY`` env var — plan_report/PLANS.md)."""
+    return bool(getattr(_TLS, "plan_only", False)) or bool(
+        os.environ.get("SPARK_GRAFT_PLAN_ONLY")
+    )
+
+
 def _canonical_key(df: DataFrame) -> str:
     """A collision-free identity for a plan: the CANONICALIZED analyzed
     tree string (expression ids normalized, so two builds of the same

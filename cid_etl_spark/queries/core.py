@@ -969,8 +969,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     that _spread is a no-op either way)."""
     e = load_table(spark, sf_dir, "events", spread=False)
     pairs = e.select("event_type", "user_id").distinct()
+    # COUNT(user_id), not COUNT(*): the old count_distinct("user_id")
+    # ignored NULL user_ids (as does approx_count_distinct), so a
+    # COUNT(*) over the distinct pairs would count one extra "user" per
+    # event_type carrying any null — a silent semantics drift on
+    # NULL-bearing data (ADVICE r13 #2; fixture-invisible, pinned by
+    # tests/test_queries_nulls.py)
     agg = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("__approx"),
     )
     return agg.select(

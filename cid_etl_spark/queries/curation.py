@@ -310,23 +310,35 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Smoothing is add-0.5 over the successor vocabulary V; documents
     with fewer than two tokens have no bigrams and drop out in both
     engines."""
+    from cid_etl_spark.operators.aggregates import materialize_once
+
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    bgarr = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("w1"),
-            F.element_at(toks, i + 2).alias("w2"),
-        ),
+    # bigrams via slice+arrays_zip (r14, guide §4.1 "prefer built-ins"):
+    # the r13 transform(sequence, struct(element_at...)) lambda ran on
+    # the INTERPRETED higher-order-function path (the WARM_FIRST family
+    # note in bench.py) — zip of the two shifted slices is the same
+    # (w1, w2) stream through codegen'd expressions
+    bgarr = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
     )
     bg = (
         d.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(bgarr).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    # materialize the distinct-bigram rollup once (guide §5): c1, V and
+    # the probability join all derive from c2 — left lazy, each
+    # consumer re-ran the full explode+count
+    c2 = materialize_once(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
-    v = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    # distinct w2 over c2 == distinct w2 over bg (c2 is the (w1, w2)
+    # grouping of bg) — one pass over the small rollup instead of a
+    # third pass over the exploded stream
+    v = c2.agg(F.countDistinct("w2").cast("double").alias("v"))
     # c2 is O(distinct bigrams) — NOT vocab-sized — so no forced
     # broadcast: AQE broadcasts it while it fits and falls back to a
     # (w1, w2)-keyed shuffle join at corpus scale.  c1 (context vocab)
@@ -713,16 +725,27 @@ def cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     on integer keys — identical integer arithmetic, one call per
     bucket instead of per user.  Per-task memory is rows/n_buckets
     instead of one user's events; the bucket key is
-    ``pmod(xxhash64(user_id), 64)`` — deterministic under retries
-    (guide §2.5).  The scan stays unspread: the cogroup's own hash
+    ``pmod(xxhash64(user_id), n_buckets)`` — deterministic under
+    retries (guide §2.5) — with n_buckets resolved adaptively from the
+    input's plan-size estimate since r14 (VERDICT r13 #1; fixed 64
+    before).  The scan stays unspread: the cogroup's own hash
     exchanges distribute the work (at 100 TB the scan has enough
     splits that _spread is a no-op either way).  Oracle: correlated
     COUNT subquery per purchase, rolled up per user."""
     import numpy as np
     import pandas as pd  # noqa: F811
 
-    n_buckets = 64
+    from cid_etl_spark.operators.aggregates import adaptive_group_buckets
+    from cid_etl_spark.operators.timeseries import MAX_GROUP_ROWS
+
     e = load_table(spark, sf_dir, "events", spread=False)
+    # Adaptive bucket count (VERDICT r13 #1): the r13 fixed 64 meant a
+    # fact-scale input blew past the per-frame Arrow bound (and the
+    # int64 packing guard below) while capping the stage at 64 tasks;
+    # sizing from the plan estimate keeps rows/n_buckets under the
+    # frame bound at any input size.  Placement-only — the per-user
+    # alignment inside each bucket is unchanged, so values never move.
+    n_buckets = adaptive_group_buckets(e, MAX_GROUP_ROWS, floor=64)
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("__b")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", bucket
@@ -1454,7 +1477,14 @@ def bfs_distances_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent rather than carrying an infinity sentinel."""
     from cid_etl_spark.operators.graph import bfs_distances
 
-    edges = _copurchase_edges(spark, sf_dir, min_support=2)
+    # Materialize the basket self-join ONCE (r14, guide §2.4): the
+    # seed aggregate and the operator's adjacency checkpoint are two
+    # independent consumers — left lazy, each re-ran the derivation
+    # (and the r13 union-based symmetrize inside the operator made it
+    # three runs total).
+    edges = _copurchase_edges(spark, sf_dir, min_support=2).localCheckpoint(
+        eager=True
+    )
     seed = (
         edges.select(F.least("src", "dst").alias("n"))
         .agg(F.min("n").alias("node"))
@@ -1908,10 +1938,19 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     hub-skew mitigation (salting, degree orientation) is worth
     wiring into downstream joins.  Degree table joins back onto the
     edge list twice — both sides broadcast when they fit — and the
-    correlation is one partial-aggregable pass."""
-    edges = _copurchase_edges(spark, sf_dir, min_support=2)
-    adj = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    correlation is one partial-aggregable pass.
+
+    r14 (guide §2.4): the basket self-join is checkpointed once and
+    symmetrized in one explode pass — the r13 shape re-derived it FOUR
+    times in one job (two union branches × two adj consumers: the
+    degree build and the correlation join)."""
+    from cid_etl_spark.operators.graph import _symmetrize
+
+    edges = _copurchase_edges(spark, sf_dir, min_support=2).localCheckpoint(
+        eager=True
+    )
+    adj = _symmetrize(edges, "src", "dst").select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
     deg = adj.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

@@ -2170,10 +2170,19 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
 
+    from cid_etl_spark.operators.aggregates import materialize_once
+
     d = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs_exact(
-        d, "doc_id", "text", n=3, threshold=0.2, block_col=None
-    ).select("id_a", "id_b")
+    # materialize both pair sets once (r14, guide §5): each is consumed
+    # TWICE — by its own count and by the true-positive join — and left
+    # lazy each consumer re-ran the full derivation (the inverted-index
+    # self-join for truth; shingle → md5 MinHash → band self-join for
+    # cand, the most expensive interpreted chain in this query)
+    truth = materialize_once(
+        ngram_jaccard_pairs_exact(
+            d, "doc_id", "text", n=3, threshold=0.2, block_col=None
+        ).select("id_a", "id_b")
+    )
     sh = d.select(
         "doc_id", shingles("text", n=3).alias("__grams")
     ).withColumn(
@@ -2182,8 +2191,10 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__grams", num_hashes=16, seed=42, base_hash=md5_base_hash
         ),
     )
-    cand = lsh_candidate_pairs(
-        sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
+    cand = materialize_once(
+        lsh_candidate_pairs(
+            sh, "doc_id", "__sig", num_bands=4, hash_buckets=False
+        )
     )
     tp = cand.join(truth, ["id_a", "id_b"])
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))

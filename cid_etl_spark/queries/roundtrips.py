@@ -717,32 +717,75 @@ def winnowing_fingerprints_verified(spark: SparkSession, sf_dir: str) -> DataFra
     array-order-free.  The xxhash64 variant (content_fingerprints)
     stays the production-speed path; this row proves the algorithm.
 
-    Runs on a deterministic 4% document subset: the per-gram md5 +
-    hex conv is interpreted (higher-order lambdas skip codegen) and
-    ~30x costlier than xxhash64, and the verification surface needs
-    algorithm coverage, not corpus coverage — the fast path covers the
-    full corpus in content_fingerprints."""
+    Runs on a deterministic 4% document subset: the verification
+    surface needs algorithm coverage, not corpus coverage — the fast
+    path covers the full corpus in content_fingerprints.
+
+    r14 (guide §4.2 "heavy lifting in native code inside the UDF"):
+    the gram hashing moved from a higher-order ``transform`` lambda —
+    Spark's INTERPRETED expression path, one md5 + hex-conv expression
+    eval per gram, measured 4.7-15 s at sf0.1 with the suite's best
+    core-scaling ratio (2.55: real compute, VERDICT r13 #4) — into one
+    Arrow ``mapInPandas`` pass: ``hashlib.md5`` per character 8-gram
+    (identical bytes → identical 15-hex-digit prefix → identical
+    BIGINT), window minima and dedup via numpy stride tricks, exactly
+    the shape of functions.text.winnow_fingerprints_py.  Python slices
+    by code points like Spark's ``substr``, and the UTF-8 encode before
+    md5 matches both engines' string md5; normalization (lower/trim)
+    stays a Spark expression so locale-sensitive lowercasing never
+    diverges.  Value-identical by construction, oracle-checked."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    t = F.lower(F.trim(F.col("text")))
-    gram_hash = lambda s: (  # noqa: E731 - md5-prefix → bigint, both engines
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    prepped = d.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("__t")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - 8 + 1, F.lit(1))),
-        lambda i: gram_hash(t.substr(i, F.lit(8))),
-    )
-    n_windows = F.greatest(F.size(grams) - 4 + 1, F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(grams, i, 4)),
-        )
-    )
-    return d.select(
-        "doc_id",
-        F.size(fps).alias("n_fps"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
+
+    def winnow(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, n_out, mn, mx = [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["__t"]):
+                ids.append(doc_id)
+                if t is None:
+                    # expression twin: null text yields one null gram,
+                    # one window, fps = [null]
+                    n_out.append(1)
+                    mn.append(None)
+                    mx.append(None)
+                    continue
+                n_grams = max(len(t) - 7, 1)
+                grams = np.fromiter(
+                    (
+                        int(md5(t[i : i + 8].encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                if n_grams >= 4:
+                    mins = sliding_window_view(grams, 4).min(axis=1)
+                else:
+                    mins = grams.min(keepdims=True)
+                fps = np.unique(mins)
+                n_out.append(len(fps))
+                mn.append(int(fps[0]))
+                mx.append(int(fps[-1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_fps": pd.Series(n_out, dtype="int32"),
+                    "min_fp": pd.Series(mn, dtype="Int64"),
+                    "max_fp": pd.Series(mx, dtype="Int64"),
+                }
+            )
+
+    return prepped.mapInPandas(
+        winnow, "doc_id bigint, n_fps int, min_fp bigint, max_fp bigint"
     )
 
 

@@ -29,6 +29,7 @@ from cid_etl_spark.operators.aggregates import (
     count_if,
     decimal_sum,
     exact_ntile,
+    materialize_once,
     money,
 )
 from cid_etl_spark.operators.dedup import (
@@ -1207,14 +1208,26 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     corpus0 = docs.filter(F.col("doc_id") % 101 != 0)
+    # project the normalized text ONLY (r14, guide §2.3 "project before
+    # the exchange"): every downstream consumer — the exact-dedup md5
+    # window, shingling (n=3 and n=8; shingles() lower/trims its input,
+    # and lower∘trim is idempotent, so grams over __t equal grams over
+    # text), token counting — reads lower(trim(text)), so carrying the
+    # raw text column through the dedup shuffle doubled its bytes
     quality = corpus0.filter(
         F.col("n_chars").between(100, 20000) & (words >= 20)
     ).select(
-        "doc_id", "lang", "source", "text",
+        "doc_id", "lang", "source",
         F.lower(F.trim(F.col("text"))).alias("__t"),
     )
     w_exact = Window.partitionBy(F.md5(F.col("__t"))).orderBy("doc_id")
-    exact = (
+    # materialize the deduped corpus once (r14, guide §5): exact is
+    # consumed THREE times — the signature build, the contamination
+    # gram explode, and the clean anti-join — and left lazy each
+    # consumer re-ran the scan + the full-corpus md5 window shuffle
+    # (the single biggest recompute in the r13 plan; this query was the
+    # costliest untouched path, VERDICT r13 next-round #1)
+    exact = materialize_once(
         quality.withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
@@ -1227,7 +1240,7 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager pair-list checkpoint is the last consumer), so residency is
     # per-call even for callers that never clear caches.
     sh = (
-        exact.select("doc_id", shingles("text", n=3).alias("__grams"))
+        exact.select("doc_id", shingles(F.col("__t"), n=3).alias("__grams"))
         .withColumn(
             "__sig",
             minhash_signature(
@@ -1278,7 +1291,7 @@ def pretraining_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(shingles("text", n=8)).alias("g")
     ).distinct()
     contaminated = (
-        kept.select("doc_id", F.explode(shingles("text", n=8)).alias("g"))
+        kept.select("doc_id", F.explode(shingles(F.col("__t"), n=8)).alias("g"))
         .join(F.broadcast(bench_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
